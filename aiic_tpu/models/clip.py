@@ -1,0 +1,348 @@
+"""Pure-functional CLIP dual encoder for TPU.
+
+Design notes (TPU-first, not a torch translation):
+
+- Parameters are plain pytrees (nested dicts of ``jnp.ndarray``). All linear
+  weights are stored **(in, out)** so the forward is a right-multiplication —
+  the natural MXU layout — rather than torch's (out, in).
+- The 12 transformer blocks of each tower are **stacked along a leading layer
+  axis** and executed with ``lax.scan``: one compiled block program instead of
+  12 unrolled copies (faster compiles, identical math, and the layer axis is a
+  natural sharding axis for pipeline experiments).
+- LoRA adapters are a *separate* stacked pytree threaded through the same scan
+  (see :mod:`aiic_tpu.adapters`), so the backbone stays frozen/donatable and
+  gradients flow only through the adapter leaves — the JAX equivalent of the
+  reference's "train only params with 'lora' in name" rule
+  (reference train_lora.py:194-197).
+- Numerics: LayerNorm and softmax accumulate in float32 regardless of the
+  compute dtype; matmuls request ``preferred_element_type=float32`` so bf16
+  activations still accumulate exactly on the MXU.
+
+Behavior parity targets (reference backbone = OpenAI CLIP ViT-B/16, loaded at
+reference main.py:152): image tower = conv16 patchify, [CLS]+pos, 12 pre-LN
+blocks (w=768, h=12), ln_post on CLS, projection to 512; text tower = 77-ctx
+token+pos embed, 12 causal pre-LN blocks (w=512, h=8), ln_final, take the
+embedding at the EOT position (argmax of token ids), projection to 512.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from aiic_tpu.models.config import CLIPConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with float32 statistics (parity with torch.nn.LayerNorm)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) — OpenAI CLIP's activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _gelu(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "quick_gelu":
+        return quick_gelu(x)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def lora_delta(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, scaling: float) -> jnp.ndarray:
+    """Low-rank delta ``(x @ A @ B) * (alpha/rank)``.
+
+    Matches reference LoRALayer.forward (main.py:30-31, train_lora.py:27-29):
+    A is (in, rank), B is (rank, out), B zero-init so a fresh adapter is a
+    mathematical no-op.
+    """
+    down = jnp.dot(x, a.astype(x.dtype), preferred_element_type=jnp.float32)
+    up = jnp.dot(down.astype(x.dtype), b.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (up * scaling).astype(x.dtype)
+
+
+def _maybe_lora_linear(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    lora: Optional[Params],
+    scaling: float,
+) -> jnp.ndarray:
+    y = linear(x, w, b)
+    if lora is not None:
+        y = y + lora_delta(x, lora["A"], lora["B"], scaling)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def attention(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    mask: Optional[jnp.ndarray],
+    lora_out: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """Multi-head self-attention with fused QKV.
+
+    ``p['wqkv']`` is (width, 3*width) with columns laid out [Q | K | V]
+    (the converter produces this layout from torch's separate/interleaved
+    projections). ``mask`` is an additive float mask (S, S) or None.
+    """
+    bsz, seq, width = x.shape
+    head_dim = width // heads
+
+    qkv = linear(x, p["wqkv"], p["bqkv"])  # (B, S, 3W)
+    qkv = qkv.reshape(bsz, seq, 3, heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)
+
+    if attn_impl == "pallas":
+        from aiic_tpu.ops.attention import flash_attention
+
+        out = flash_attention(q, k, v, mask)
+    else:
+        scale = head_dim ** -0.5
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            scores = scores + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
+
+    out = out.reshape(bsz, seq, width)
+    return _maybe_lora_linear(out, p["wo"], p["bo"], lora_out, lora_scaling)
+
+
+# ---------------------------------------------------------------------------
+# Transformer block + tower
+# ---------------------------------------------------------------------------
+
+
+def block(
+    x: jnp.ndarray,
+    p: Params,
+    heads: int,
+    mask: Optional[jnp.ndarray],
+    gelu_type: str,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """Pre-LN residual block: x + attn(ln1(x)); x + mlp(ln2(x)).
+
+    LoRA attach points mirror the reference trainer's wrap set
+    (train_lora.py:76-98): ``attn.out_proj``, ``mlp.c_fc``, ``mlp.c_proj``.
+    """
+    l_out = l_fc = l_proj = None
+    if lora is not None:
+        l_out = lora.get("out_proj")
+        l_fc = lora.get("c_fc")
+        l_proj = lora.get("c_proj")
+
+    x = x + attention(
+        layer_norm(x, p["ln1"]),
+        p["attn"],
+        heads,
+        mask,
+        lora_out=l_out,
+        lora_scaling=lora_scaling,
+        attn_impl=attn_impl,
+    )
+    h = layer_norm(x, p["ln2"])
+    h = _maybe_lora_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], l_fc, lora_scaling)
+    h = _gelu(h, gelu_type)
+    h = _maybe_lora_linear(h, p["mlp"]["w2"], p["mlp"]["b2"], l_proj, lora_scaling)
+    return x + h
+
+
+def run_tower(
+    x: jnp.ndarray,
+    blocks: Params,
+    heads: int,
+    mask: Optional[jnp.ndarray],
+    gelu_type: str,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    attn_impl: str = "xla",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Scan the stacked block parameters over the sequence of layers."""
+
+    def body(carry, layer_inputs):
+        if lora is None:
+            bp, lp = layer_inputs, None
+        else:
+            bp, lp = layer_inputs
+        out = block(
+            carry, bp, heads, mask, gelu_type,
+            lora=lp, lora_scaling=lora_scaling, attn_impl=attn_impl,
+        )
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    xs = blocks if lora is None else (blocks, lora)
+    x, _ = lax.scan(body, x, xs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Towers
+# ---------------------------------------------------------------------------
+
+
+def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, N, C*patch*patch), channel-major within a patch.
+
+    The flatten order matches torch's Conv2d weight layout (out, C, kh, kw) so
+    converted conv kernels drop straight in. Patchify-as-reshape+matmul keeps
+    the whole embed on the MXU — no convolution needed at stride == kernel.
+    """
+    b, h, w, c = pixels.shape
+    gh, gw = h // patch, w // patch
+    x = pixels.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, gh, gw, C, p, p)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def encode_image(
+    params: Params,
+    pixels: jnp.ndarray,
+    config: CLIPConfig,
+    dtype: jnp.dtype = jnp.float32,
+    attn_impl: str = "xla",
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Image tower: normalized pixels (B, H, W, 3) -> embeddings (B, embed_dim).
+
+    Reference semantics: ``model.encode_image`` of OpenAI CLIP (used at
+    main.py:204, main.py:444, train_lora.py:233).
+    """
+    v = params["visual"]
+    x = patchify(pixels.astype(dtype), config.patch_size)
+    x = jnp.dot(x, v["patch_embed"].astype(dtype), preferred_element_type=jnp.float32)
+    x = x.astype(dtype)
+
+    cls = jnp.broadcast_to(v["cls"].astype(dtype), (x.shape[0], 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["pos"].astype(dtype)
+    x = layer_norm(x, v["ln_pre"])
+
+    x = run_tower(
+        x, v["blocks"], config.vision.heads, None, config.gelu_type,
+        lora=lora, lora_scaling=lora_scaling, attn_impl=attn_impl, remat=remat,
+    )
+
+    x = layer_norm(x[:, 0], v["ln_post"])
+    return jnp.dot(x, v["proj"].astype(dtype), preferred_element_type=jnp.float32)
+
+
+def causal_mask(seq: int) -> jnp.ndarray:
+    """Additive causal mask, upper triangle = -inf (torch CLIP builds the same)."""
+    return jnp.triu(jnp.full((seq, seq), -jnp.inf, dtype=jnp.float32), k=1)
+
+
+def encode_text(
+    params: Params,
+    tokens: jnp.ndarray,
+    config: CLIPConfig,
+    dtype: jnp.dtype = jnp.float32,
+    attn_impl: str = "xla",
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Text tower: int32 tokens (B, ctx) -> embeddings (B, embed_dim).
+
+    Pooling: the hidden state at the EOT token, located via ``argmax(tokens)``
+    because EOT has the highest id in the vocabulary — identical to OpenAI
+    CLIP's pooling rule the reference relies on.
+    """
+    t = params["text"]
+    x = t["tok_embed"][tokens].astype(dtype)  # (B, S, W)
+    x = x + t["pos"].astype(dtype)
+
+    mask = causal_mask(tokens.shape[1])
+    x = run_tower(
+        x, t["blocks"], config.text.heads, mask, config.gelu_type,
+        lora=lora, lora_scaling=lora_scaling, attn_impl=attn_impl, remat=remat,
+    )
+
+    x = layer_norm(x, t["ln_final"])
+    eot = jnp.argmax(tokens, axis=-1)
+    x = x[jnp.arange(x.shape[0]), eot]
+    return jnp.dot(x, t["proj"].astype(dtype), preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+def normalize_features(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """L2-normalize along the last axis in float32."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(xf, axis=-1, keepdims=True)
+    return xf / (norm + eps)
+
+
+def clip_forward(
+    params: Params,
+    pixels: jnp.ndarray,
+    tokens: jnp.ndarray,
+    config: CLIPConfig,
+    dtype: jnp.dtype = jnp.float32,
+    attn_impl: str = "xla",
+    text_lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+):
+    """Joint forward: returns (logits_per_image, logits_per_text).
+
+    Matches the reference training objective's logit computation
+    (train_lora.py:241-243): ``logit_scale.exp() * img @ text.T``.
+    """
+    img = normalize_features(
+        encode_image(params, pixels, config, dtype=dtype, attn_impl=attn_impl)
+    )
+    txt = normalize_features(
+        encode_text(
+            params, tokens, config, dtype=dtype, attn_impl=attn_impl,
+            lora=text_lora, lora_scaling=lora_scaling,
+        )
+    )
+    scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
+    logits_per_image = scale * img @ txt.T
+    return logits_per_image, logits_per_image.T

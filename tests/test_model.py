@@ -1,0 +1,99 @@
+"""Model-core tests: shapes, LoRA algebra, fold/threaded equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aiic_tpu.adapters import LoRAConfig, fold_text_lora, init_text_lora, lora_param_count
+from aiic_tpu.models import (
+    TINY_TEST,
+    clip_forward,
+    encode_image,
+    encode_text,
+    init_clip_params,
+    normalize_features,
+)
+
+CFG = TINY_TEST
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_clip_params(jax.random.PRNGKey(0), CFG)
+
+
+def _tokens(n=3):
+    tok = np.zeros((n, CFG.context_length), np.int32)
+    tok[:, 0] = CFG.vocab_size - 2
+    tok[:, 5] = CFG.vocab_size - 1
+    return jnp.asarray(tok)
+
+
+def test_shapes(params):
+    px = jax.random.uniform(jax.random.PRNGKey(1), (2, CFG.image_size, CFG.image_size, 3))
+    img = encode_image(params, px, CFG)
+    txt = encode_text(params, _tokens(), CFG)
+    assert img.shape == (2, CFG.embed_dim)
+    assert txt.shape == (3, CFG.embed_dim)
+    li, lt = clip_forward(params, px, _tokens(), CFG)
+    assert li.shape == (2, 3) and lt.shape == (3, 2)
+    np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, rtol=1e-6)
+
+
+def test_normalize():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    n = normalize_features(x)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(n), axis=-1), 1.0, rtol=1e-6)
+
+
+def test_lora_zero_b_is_noop(params):
+    lc = LoRAConfig(rank=2, alpha=4, attach=("c_fc", "c_proj", "out_proj"))
+    tree = init_text_lora(jax.random.PRNGKey(2), CFG, lc)
+    base = encode_text(params, _tokens(), CFG)
+    with_lora = encode_text(params, _tokens(), CFG, lora=tree, lora_scaling=lc.scaling)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), atol=1e-6)
+
+
+@pytest.mark.parametrize("attach", [("c_fc",), ("c_proj",), ("out_proj",), ("c_fc", "c_proj", "out_proj")])
+def test_fold_equals_threaded(params, attach):
+    lc = LoRAConfig(rank=2, alpha=4, attach=attach)
+    tree = init_text_lora(jax.random.PRNGKey(2), CFG, lc)
+    # Make B nonzero with *random* values: a constant B would produce a
+    # feature-uniform delta that the next LayerNorm cancels exactly.
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), len(jax.tree.leaves(tree))))
+    tree = jax.tree.map(lambda x: x + 0.05 * jax.random.normal(next(keys), x.shape), tree)
+    threaded = encode_text(params, _tokens(), CFG, lora=tree, lora_scaling=lc.scaling)
+    folded = encode_text(fold_text_lora(params, tree, lc.scaling), _tokens(), CFG)
+    np.testing.assert_allclose(np.asarray(threaded), np.asarray(folded), atol=1e-4)
+    # and it is NOT a no-op
+    base = encode_text(params, _tokens(), CFG)
+    assert np.abs(np.asarray(base) - np.asarray(threaded)).max() > 1e-4
+
+
+def test_lora_scaling_matches_reference_rule():
+    # rank=4/alpha=8 (main.py:522) and rank=16/alpha=32 (train_lora.py:370-371)
+    # both produce scaling 2.0.
+    assert LoRAConfig(rank=4, alpha=8).scaling == 2.0
+    assert LoRAConfig(rank=16, alpha=32).scaling == 2.0
+
+
+def test_lora_param_count_matches_checkpoint_geometry():
+    # Reference shipped checkpoints: 245,760 params over 12 text blocks,
+    # rank 4, c_fc/c_proj only (SURVEY.md §2c).
+    from aiic_tpu.models.config import VIT_B_16
+
+    lc = LoRAConfig(rank=4, alpha=8, attach=("c_fc", "c_proj"))
+    tree = init_text_lora(jax.random.PRNGKey(0), VIT_B_16, lc)
+    assert lora_param_count(tree) == 245760
+
+
+def test_eot_pooling_uses_argmax(params):
+    tok = np.zeros((1, CFG.context_length), np.int32)
+    tok[:, 0] = CFG.vocab_size - 2
+    tok[:, 3] = CFG.vocab_size - 1  # EOT earlier in the sequence
+    a = encode_text(params, jnp.asarray(tok), CFG)
+    tok2 = tok.copy()
+    tok2[:, 10] = 7  # tokens after EOT must not change the pooled output
+    b = encode_text(params, jnp.asarray(tok2), CFG)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -208,3 +208,18 @@ def tokenize(texts, context_length: int = CONTEXT_LENGTH, truncate: bool = True)
     if context_length != tok.context_length:
         tok = ClipTokenizer(context_length=context_length)
     return tok(texts, truncate=truncate)
+
+
+def tokenize_for_model(texts, config, truncate: bool = True) -> np.ndarray:
+    """Tokenize against a model config: clamps ids into ``config.vocab_size``
+    while pinning SOT/EOT to the top two ids, so reduced-vocab test models
+    (e.g. ``TINY_TEST``) keep the EOT-is-argmax pooling invariant."""
+    ids = tokenize(texts, context_length=config.context_length, truncate=truncate)
+    v = config.vocab_size
+    if v >= VOCAB_SIZE:
+        return ids
+    out = ids % (v - 2)
+    out = np.where(ids == VOCAB_SIZE - 2, v - 2, out)
+    out = np.where(ids == VOCAB_SIZE - 1, v - 1, out)
+    out = np.where(ids == 0, 0, out)
+    return out.astype(np.int32)

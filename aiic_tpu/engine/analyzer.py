@@ -1,0 +1,285 @@
+"""InteriorAnalyzer — the batched inference engine.
+
+Capability-parity rebuild of the reference's ``InteriorImageDetector`` +
+``CachedInteriorAnalyzer`` pair (main.py:149-510), with the reference's
+architectural bugs fixed rather than copied:
+
+- the reference loads TWO full CLIP models (main.py:238-241); here there is
+  one parameter tree shared by detector and analyzer (sound because the
+  effective model is identical — SURVEY.md §2c item 3);
+- the reference gates interiors at batch 1 per image inside download threads
+  (main.py:201-220) and round-trips features through host memory
+  (main.py:446-448); here detection + attribute analysis run as ONE jitted
+  program per batch bucket (see engine/programs.py);
+- LoRA is folded into the backbone at load time instead of wrapping every
+  Linear at runtime (main.py:62-74) — mathematically identical for frozen
+  adapters, zero runtime overhead.
+
+Output schema matches the reference exactly (main.py:383-391, 461-467),
+including the Polish reason strings.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aiic_tpu.adapters import LoRAConfig, fold_text_lora, lora_tree_from_pth
+from aiic_tpu.data.dataset import (
+    build_category_prompts,
+    extract_all_categories,
+    load_training_data,
+)
+from aiic_tpu.data.images import load_image
+from aiic_tpu.data.preprocess import preprocess_pil
+from aiic_tpu.data.tokenizer import tokenize_for_model
+from aiic_tpu.engine.detector import (
+    DEFAULT_CONFIDENCE_THRESHOLD,
+    DETECTOR_CATEGORIES,
+    INTERIOR_COUNT,
+)
+from aiic_tpu.engine.programs import encode_texts_program, make_classify_fn
+from aiic_tpu.models.config import CLIPConfig, VIT_B_16
+from aiic_tpu.models.init import init_clip_params
+from aiic_tpu.utils.batching import bucket_size, pad_batch
+
+
+class InteriorAnalyzer:
+    """Detector + multi-label attribute analyzer over one CLIP backbone."""
+
+    def __init__(
+        self,
+        params: Optional[Dict[str, Any]] = None,
+        config: CLIPConfig = VIT_B_16,
+        *,
+        dataset_json: str = "interior_dataset.json",
+        training_data: Optional[List[Dict[str, Any]]] = None,
+        use_lora: bool = False,
+        lora_weights_path: Optional[str] = None,
+        lora_rank: int = 4,
+        lora_alpha: int = 8,
+        dtype: jnp.dtype = jnp.float32,
+        attn_impl: str = "xla",
+        matmul_precision: Optional[str] = None,
+        max_batch: int = 256,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.dtype = dtype
+        self.max_batch = max_batch
+
+        if params is None:
+            params = init_clip_params(jax.random.PRNGKey(seed), config)
+
+        # LoRA: fold into the backbone before any text-feature precompute —
+        # same ordering the reference enforces (main.py:243-254 applies LoRA
+        # before _precompute_text_features_optimized at main.py:262).
+        self.use_lora = False
+        if use_lora:
+            lc = LoRAConfig(rank=lora_rank, alpha=lora_alpha, attach=("c_fc", "c_proj"))
+            if lora_weights_path and os.path.exists(lora_weights_path):
+                tree, _meta = lora_tree_from_pth(lora_weights_path, config, lc, seed=seed)
+            else:
+                from aiic_tpu.adapters import init_text_lora
+
+                tree = init_text_lora(jax.random.PRNGKey(seed), config, lc)
+            params = fold_text_lora(params, tree, lc.scaling)
+            self.use_lora = True
+        self.params = params
+
+        # Attribute vocabulary from the dataset (main.py:259-262).
+        if training_data is None:
+            training_data = load_training_data(dataset_json) if os.path.exists(dataset_json) else []
+        self.training_data = training_data
+        self.all_categories = extract_all_categories(training_data)
+        self.category_names = [k for k, v in self.all_categories.items() if v]
+
+        # Precompute text features: one jitted text-encoder call over the
+        # concatenation of detector + category prompts.
+        prompts_by_cat = build_category_prompts(self.all_categories)
+        all_prompts = list(DETECTOR_CATEGORIES)
+        spans = {}
+        for name in self.category_names:
+            start = len(all_prompts)
+            all_prompts.extend(prompts_by_cat[name])
+            spans[name] = (start, len(all_prompts))
+
+        encode_texts = jax.jit(
+            lambda p, t: encode_texts_program(
+                p, t, config=config, dtype=dtype, attn_impl=attn_impl
+            )
+        )
+        feats = np.asarray(
+            encode_texts(params, jnp.asarray(tokenize_for_model(all_prompts, config)))
+        )
+        self.det_text = jnp.asarray(feats[: len(DETECTOR_CATEGORIES)])
+
+        n_cat = len(self.category_names)
+        max_n = max((spans[n][1] - spans[n][0] for n in self.category_names), default=1)
+        cat_text = np.zeros((max(n_cat, 1), max_n, config.embed_dim), np.float32)
+        cat_mask = np.zeros((max(n_cat, 1), max_n), bool)
+        for ci, name in enumerate(self.category_names):
+            s, e = spans[name]
+            cat_text[ci, : e - s] = feats[s:e]
+            cat_mask[ci, : e - s] = True
+        self.cat_text = jnp.asarray(cat_text)
+        self.cat_mask = jnp.asarray(cat_mask)
+
+        self._classify = make_classify_fn(
+            config,
+            INTERIOR_COUNT,
+            dtype=dtype,
+            attn_impl=attn_impl,
+            matmul_precision=matmul_precision,
+        )
+
+    # ------------------------------------------------------------------
+    # Device passes
+    # ------------------------------------------------------------------
+
+    def classify_pixels(self, pixels: np.ndarray) -> Dict[str, np.ndarray]:
+        """Run the fused program over (N, S, S, 3) preprocessed pixels,
+        chunked into padded power-of-two buckets to bound recompilation."""
+        n = pixels.shape[0]
+        outs: List[Dict[str, np.ndarray]] = []
+        i = 0
+        while i < n:
+            chunk = pixels[i : i + self.max_batch]
+            padded, valid = pad_batch(chunk, bucket_size(len(chunk), self.max_batch))
+            res = self._classify(
+                self.params, jnp.asarray(padded), self.det_text, self.cat_text, self.cat_mask
+            )
+            outs.append({k: np.asarray(v)[:valid] for k, v in res.items()})
+            i += len(chunk)
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]} if outs else {}
+
+    # ------------------------------------------------------------------
+    # Host orchestration (reference-schema results)
+    # ------------------------------------------------------------------
+
+    def _assemble_analysis(self, res: Dict[str, np.ndarray], row: int) -> Dict[str, list]:
+        analysis = {}
+        for ci, name in enumerate(self.category_names):
+            attrs = self.all_categories[name]
+            k = min(5, len(attrs))
+            vals = res["topk_vals"][row, ci, :k]
+            idx = res["topk_idx"][row, ci, :k]
+            analysis[name] = [(attrs[int(i)], float(v)) for v, i in zip(vals, idx)]
+        return analysis
+
+    def analyze_images_batch(
+        self,
+        image_paths: Sequence[str],
+        batch_size: Optional[int] = None,
+        filter_interiors: bool = True,
+        confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+        max_workers: int = 8,
+    ) -> Dict[str, Dict[str, Any]]:
+        """Batch pipeline with the reference's result contract
+        (main.py:371-469): every input path maps to a result dict."""
+        if batch_size:
+            self.max_batch = batch_size
+
+        results: Dict[str, Dict[str, Any]] = {}
+        good_paths: List[str] = []
+        pixel_list: List[np.ndarray] = []
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(p):
+            img = load_image(p)
+            if img is None:
+                return p, None
+            return p, preprocess_pil(img, self.config.image_size)
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for path, px in pool.map(fetch, image_paths):
+                if px is None:
+                    results[path] = {
+                        "is_interior": False,
+                        "interior_confidence": 0.0,
+                        "detected_category": "load error",
+                        "analysis": {},
+                        "reason": "Błąd ładowania: could not load image",
+                    }
+                else:
+                    good_paths.append(path)
+                    pixel_list.append(px)
+
+        if not pixel_list:
+            return results
+
+        res = self.classify_pixels(np.stack(pixel_list))
+
+        for row, path in enumerate(good_paths):
+            conf = float(res["interior_mass"][row])
+            top_conf = float(res["top_conf"][row])
+            category = DETECTOR_CATEGORIES[int(res["top_idx"][row])]
+            is_interior = (
+                res["interior_mass"][row] > res["non_interior_mass"][row]
+                and top_conf > confidence_threshold
+            )
+            if filter_interiors and not is_interior:
+                results[path] = {
+                    "is_interior": False,
+                    "interior_confidence": conf,
+                    "detected_category": category,
+                    "analysis": {},
+                    "reason": f"Nie wnętrze: {category} (confidence: {conf:.3f})",
+                }
+            else:
+                results[path] = {
+                    "is_interior": True,
+                    "interior_confidence": conf if filter_interiors else 1.0,
+                    "detected_category": "interior",
+                    "analysis": self._assemble_analysis(res, row),
+                    "reason": "Success - interior image analyzed",
+                }
+        return results
+
+    def is_interior_image(self, image, confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD):
+        """Single-image detector (reference main.py:191-226 contract):
+        returns (is_interior, interior_confidence, top_category)."""
+        if image is None:
+            return False, 0.0, "invalid image"
+        px = preprocess_pil(image, self.config.image_size)[None]
+        res = self.classify_pixels(px)
+        conf = float(res["interior_mass"][0])
+        category = DETECTOR_CATEGORIES[int(res["top_idx"][0])]
+        is_interior = (
+            res["interior_mass"][0] > res["non_interior_mass"][0]
+            and float(res["top_conf"][0]) > confidence_threshold
+        )
+        return bool(is_interior), conf, category
+
+    def analyze_image_from_url(self, url: str, filter_interiors: bool = True) -> Dict[str, Any]:
+        """Single-URL convenience wrapper (reference main.py:472-498)."""
+        img = load_image(url)
+        if img is None:
+            return {"is_interior": False, "reason": "Failed to load image"}
+        res = self.classify_pixels(preprocess_pil(img, self.config.image_size)[None])
+        conf = float(res["interior_mass"][0])
+        category = DETECTOR_CATEGORIES[int(res["top_idx"][0])]
+        is_interior = (
+            res["interior_mass"][0] > res["non_interior_mass"][0]
+            and float(res["top_conf"][0]) > DEFAULT_CONFIDENCE_THRESHOLD
+        )
+        if filter_interiors and not is_interior:
+            return {
+                "is_interior": False,
+                "interior_confidence": conf,
+                "detected_category": category,
+                "analysis": {},
+                "reason": f"Not an interior image: {category}",
+            }
+        return {
+            "is_interior": True,
+            "interior_confidence": conf if filter_interiors else 1.0,
+            "detected_category": "interior",
+            "analysis": self._assemble_analysis(res, 0),
+            "reason": "Success - interior image analyzed",
+        }

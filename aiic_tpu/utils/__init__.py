@@ -1,0 +1,4 @@
+from aiic_tpu.utils.batching import bucket_size, pad_batch
+from aiic_tpu.utils.profiling import StageTimer
+
+__all__ = ["bucket_size", "pad_batch", "StageTimer"]

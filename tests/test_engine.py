@@ -1,0 +1,171 @@
+"""Engine tests: fused program vs straightforward numpy reference semantics."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aiic_tpu.engine import DETECTOR_CATEGORIES, INTERIOR_COUNT, InteriorAnalyzer
+from aiic_tpu.engine.programs import analyze_topk, detect_logits
+from aiic_tpu.models.config import TINY_TEST
+from aiic_tpu.utils.batching import bucket_size, pad_batch
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_detector_rule_matches_reference_semantics():
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((6, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    det = rng.standard_normal((40, 16)).astype(np.float32)
+    det /= np.linalg.norm(det, axis=-1, keepdims=True)
+
+    out = jax.tree.map(np.asarray, detect_logits(jnp.asarray(feats), jnp.asarray(det), INTERIOR_COUNT))
+
+    # Reference semantics (main.py:208-220): softmax(100*cos) probabilities.
+    sims = _softmax(100.0 * feats @ det.T)
+    np.testing.assert_allclose(out["top_conf"], sims.max(-1), rtol=1e-5)
+    np.testing.assert_array_equal(out["top_idx"], sims.argmax(-1))
+    np.testing.assert_allclose(out["interior_mass"], sims[:, :INTERIOR_COUNT].sum(-1), rtol=1e-5)
+    np.testing.assert_allclose(
+        out["non_interior_mass"], sims[:, INTERIOR_COUNT:].sum(-1), rtol=1e-5
+    )
+    # masses partition the probability simplex
+    np.testing.assert_allclose(out["interior_mass"] + out["non_interior_mass"], 1.0, rtol=1e-5)
+
+
+def test_analyze_topk_respects_mask_and_matches_numpy():
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((3, 8)).astype(np.float32)
+    cat = rng.standard_normal((2, 7, 8)).astype(np.float32)
+    mask = np.zeros((2, 7), bool)
+    mask[0, :7] = True
+    mask[1, :3] = True  # category with only 3 attributes
+    cat[~mask] = 0.0
+
+    vals, idx = analyze_topk(jnp.asarray(feats), jnp.asarray(cat), jnp.asarray(mask), k=5)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+
+    for ci, n in [(0, 7), (1, 3)]:
+        ref = _softmax(100.0 * feats @ cat[ci, :n].T)  # (3, n) over valid only
+        k = min(5, n)
+        for b in range(3):
+            order = np.argsort(-ref[b])[:k]
+            np.testing.assert_allclose(vals[b, ci, :k], ref[b][order], rtol=1e-4)
+            # indices must be consistent with the returned values (exact
+            # ordering of float ties may differ from numpy's argsort)
+            np.testing.assert_allclose(ref[b][idx[b, ci, :k]], vals[b, ci, :k], rtol=1e-4)
+        # padded ranks contribute zero probability
+        assert (vals[:, ci, n:] == 0).all() if n < 5 else True
+
+
+def test_bucketing():
+    assert bucket_size(1, 256) == 1
+    assert bucket_size(3, 256) == 4
+    assert bucket_size(17, 256) == 32
+    assert bucket_size(300, 256) == 300  # overflow chunk handled upstream
+    padded, valid = pad_batch(np.ones((3, 2)), 4)
+    assert padded.shape == (4, 2) and valid == 3 and padded[3].sum() == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_analyzer(tmp_path_factory):
+    training = [
+        {
+            "image_path": "x.jpg",
+            "style": "nowoczesny",
+            "characteristics": ["czyste linie", "przestronne"],
+            "materials": ["drewno"],
+            "colors": ["biały", "szary"],
+            "room_type": "kuchnia",
+        },
+        {
+            "image_path": "y.jpg",
+            "style": "klasyczny",
+            "characteristics": ["eleganckie"],
+            "materials": ["marmur"],
+            "colors": ["beżowy"],
+            "room_type": "salon",
+        },
+    ]
+    return InteriorAnalyzer(config=TINY_TEST, training_data=training, max_batch=4)
+
+
+def test_analyzer_vocabulary(tiny_analyzer):
+    cats = tiny_analyzer.all_categories
+    assert cats["styles"] == ["nowoczesny", "klasyczny"]
+    assert cats["room_types"] == ["kuchnia", "salon"]
+    assert len(cats["characteristics"]) == 3
+
+
+def test_analyzer_end_to_end_result_schema(tiny_analyzer, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    paths.append(str(tmp_path / "missing.png"))
+
+    results = tiny_analyzer.analyze_images_batch(paths, filter_interiors=True)
+    assert set(results.keys()) == set(paths)
+    missing = results[paths[-1]]
+    assert missing["is_interior"] is False
+    assert missing["detected_category"] == "load error"
+
+    for p in paths[:3]:
+        r = results[p]
+        assert set(r.keys()) == {
+            "is_interior", "interior_confidence", "detected_category", "analysis", "reason",
+        }
+        if r["is_interior"]:
+            assert r["detected_category"] == "interior"
+            for cat, top in r["analysis"].items():
+                assert len(top) == min(5, len(tiny_analyzer.all_categories[cat]))
+                probs = [v for _, v in top]
+                assert probs == sorted(probs, reverse=True)
+                assert all(0.0 <= v <= 1.0 for v in probs)
+        else:
+            assert r["analysis"] == {}
+            assert r["reason"].startswith("Nie wnętrze: ")
+            assert r["detected_category"] in DETECTOR_CATEGORIES
+
+    # no-filter mode analyzes everything and pins confidence to 1.0
+    results_nf = tiny_analyzer.analyze_images_batch(paths[:3], filter_interiors=False)
+    for p in paths[:3]:
+        assert results_nf[p]["is_interior"] is True
+        assert results_nf[p]["interior_confidence"] == 1.0
+        assert results_nf[p]["analysis"]
+
+
+def test_single_image_detector_contract(tiny_analyzer):
+    from PIL import Image
+
+    img = Image.fromarray(np.zeros((50, 50, 3), np.uint8))
+    is_interior, conf, category = tiny_analyzer.is_interior_image(img)
+    assert isinstance(is_interior, bool)
+    assert 0.0 <= conf <= 1.0
+    assert category in DETECTOR_CATEGORIES
+    assert tiny_analyzer.is_interior_image(None) == (False, 0.0, "invalid image")
+
+
+def test_real_dataset_vocabulary_sizes(ref_root):
+    """SURVEY.md §2c: 20 styles, 12 room_types, 299 characteristics,
+    36 materials, 30 colors from the real interior_dataset.json."""
+    from aiic_tpu.data.dataset import extract_all_categories, load_training_data
+
+    td = load_training_data(f"{ref_root}/interior_dataset.json")
+    assert len(td) == 151
+    cats = extract_all_categories(td)
+    assert len(cats["styles"]) == 20
+    assert len(cats["room_types"]) == 12
+    assert len(cats["characteristics"]) == 299
+    assert len(cats["materials"]) == 36
+    assert len(cats["colors"]) == 30

@@ -1,0 +1,62 @@
+"""Training CLI — flag-compatible with the reference trainer
+(train_lora.py:363-387): ``--json-path --save-path --epochs --batch-size
+--lr --rank --alpha --test``."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="LoRA fine-tuning on TPU")
+    p.add_argument("--json-path", type=str, default="interior_dataset.json")
+    p.add_argument("--save-path", type=str, default="lora_models/comprehensive_lora_improved.pth")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--rank", type=int, default=16)
+    p.add_argument("--alpha", type=int, default=32)
+    p.add_argument("--test", action="store_true", help="evaluate a trained adapter")
+    p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt / HF)")
+    p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
+    args = p.parse_args(argv)
+
+    from aiic_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    from aiic_tpu.models.config import VIT_B_16
+    from aiic_tpu.models.init import load_clip_weights
+
+    params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
+
+    if args.test:
+        from aiic_tpu.train import test_trained_lora
+
+        acc = test_trained_lora(
+            args.json_path, args.save_path, params=params,
+            rank=args.rank, alpha=args.alpha, batch_size=args.batch_size,
+            image_root=args.image_root,
+        )
+        print(f"retrieval accuracy: {acc:.4f}")
+        return 0
+
+    from aiic_tpu.train import TrainConfig, train_lora
+
+    out = train_lora(
+        args.json_path,
+        args.save_path,
+        params=params,
+        cfg=TrainConfig(
+            epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            rank=args.rank, alpha=args.alpha,
+        ),
+        image_root=args.image_root,
+    )
+    print(f"best val loss: {out['best_val_loss']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""Worker / serving CLI.
+
+Flag-compatible with the reference worker (python-worker/main_API.py:342-367):
+``--export-only --use-lora --lora-weights --max-apartments --batch-size
+--confidence``; plus ``--serve`` to expose the REST surface (replacing the
+reference's separate Node api-server) with dynamic batching, ``--mongo-uri``
+(the reference hardcodes its URI, main_API.py:20), and ``--seed-demo`` to load
+the init-mongo.js demo data into the in-memory DB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Apartment-analysis worker / REST server")
+    p.add_argument("--export-only", action="store_true")
+    p.add_argument("--use-lora", action="store_true")
+    p.add_argument("--lora-weights", type=str)
+    p.add_argument("--max-apartments", type=int)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--confidence", type=float, default=0.3)
+    p.add_argument("--mongo-uri", type=str, help="defaults to $MONGO_URI; else in-memory DB")
+    p.add_argument("--seed-demo", action="store_true")
+    p.add_argument("--serve", action="store_true", help="start the REST API instead of one-shot drain")
+    p.add_argument("--port", type=int, default=3000)
+    p.add_argument("--dataset-json", type=str, default="interior_dataset.json")
+    p.add_argument("--weights", type=str, help="backbone weights")
+    args = p.parse_args(argv)
+
+    from aiic_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    from aiic_tpu.serve.db import connect_db, seed_demo_data
+
+    db = connect_db(args.mongo_uri)
+    if args.seed_demo and hasattr(db, "insert_apartment"):
+        seed_demo_data(db)
+
+    if args.export_only:
+        path = db.export_analysis_results()
+        print(f"exported -> {path}")
+        return 0
+
+    from aiic_tpu.engine import InteriorAnalyzer
+    from aiic_tpu.models.config import VIT_B_16
+    from aiic_tpu.models.init import load_clip_weights
+
+    params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
+    analyzer = InteriorAnalyzer(
+        params=params,
+        dataset_json=args.dataset_json,
+        use_lora=args.use_lora,
+        lora_weights_path=args.lora_weights,
+        lora_rank=4,
+        lora_alpha=8,
+    )
+
+    if args.serve:
+        import numpy as np
+
+        from aiic_tpu.data.images import decode_image_bytes
+        from aiic_tpu.data.preprocess import preprocess_numpy
+        from aiic_tpu.serve.batcher import DynamicBatcher
+        from aiic_tpu.serve.rest import make_server
+
+        def run_batch(pixels):
+            res = analyzer.classify_pixels(pixels)
+            return [
+                {
+                    "is_interior": bool(
+                        res["interior_mass"][i] > res["non_interior_mass"][i]
+                        and res["top_conf"][i] > args.confidence
+                    ),
+                    "interior_confidence": float(res["interior_mass"][i]),
+                    "analysis": analyzer._assemble_analysis(res, i),
+                }
+                for i in range(pixels.shape[0])
+            ]
+
+        batcher = DynamicBatcher(run_batch, max_batch=64, max_wait_ms=10.0)
+
+        def analyze_bytes(data: bytes):
+            arr = decode_image_bytes(data)
+            if arr is None:
+                return {"error": "could not decode image"}
+            return batcher(preprocess_numpy(arr, analyzer.config.image_size))
+
+        server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port)
+        print(f"serving on :{args.port} (endpoints: /health /apartments /process-pending "
+              f"/process/:id /results /export, POST /analyze)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
+
+    from aiic_tpu.serve.worker import process_apartments_pipeline
+
+    out = process_apartments_pipeline(
+        max_apartments=args.max_apartments,
+        batch_size=args.batch_size,
+        confidence_threshold=args.confidence,
+        db=db,
+        analyzer=analyzer,
+    )
+    if out:
+        print(f"exported -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

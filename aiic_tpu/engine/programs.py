@@ -78,7 +78,16 @@ def classify_batch(
     attn_impl: str,
     topk: int = 5,
 ) -> Dict[str, jnp.ndarray]:
-    """Single fused program: encode once, detect + analyze."""
+    """Single fused program: (optionally normalize) + encode once, detect + analyze.
+
+    ``pixels`` may be float (already normalized, reference-preprocess parity
+    path) or uint8 (serving fast path: 4x smaller host->device transfer,
+    normalization fused on device — see ops/preprocess).
+    """
+    if pixels.dtype == jnp.uint8:
+        from aiic_tpu.ops.preprocess import normalize_u8
+
+        pixels = normalize_u8(pixels, dtype=dtype)
     feats = normalize_features(
         encode_image(params, pixels, config, dtype=dtype, attn_impl=attn_impl)
     )
@@ -113,7 +122,7 @@ def make_classify_fn(
     dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "xla",
     matmul_precision: Optional[str] = None,
-    donate_pixels: bool = True,
+    donate_pixels: bool = False,
 ):
     """Build the jitted classify program (closed over static config)."""
 

@@ -1,0 +1,79 @@
+"""Device-side preprocessing ops (BASELINE.json config #3).
+
+The reference preprocesses on the host with PIL/torchvision per image
+(main.py:437-438). Here the host only decodes JPEG to raw uint8; everything
+after — bicubic resize, center crop, normalize — runs on the TPU inside the
+same XLA program as the encoder:
+
+- **resize as two matmuls**: PIL-exact separable bicubic weights become dense
+  (out, in) matrices (see data/preprocess.resize_matrix), so the resample is
+  MXU work: ``einsum('oh,bhwc->bowc') -> einsum('ow,bhwc->bhoc')``. For a
+  fixed input geometry this is one compiled program; serving buckets inputs
+  by decoded size.
+- **normalize_u8**: uint8 -> (x/255 - mean)/std fused into the encoder
+  program, so the host->device transfer is uint8 (4x smaller than fp32 —
+  the transfer link, not the MXU, is the bottleneck at inference batch
+  sizes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD, center_crop_bounds, resize_matrix, resize_target
+
+
+def normalize_u8(pixels_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 (B, H, W, 3) -> normalized (B, H, W, 3) in ``dtype``."""
+    mean = jnp.asarray(CLIP_MEAN * 255.0, jnp.float32)
+    # fold /255 and /std into one multiplier: (x - 255*mean) * (1/(255*std))
+    inv = jnp.asarray(1.0 / (CLIP_STD * 255.0), jnp.float32)
+    x = pixels_u8.astype(jnp.float32)
+    return ((x - mean) * inv).astype(dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def make_resize_mats(in_h: int, in_w: int, size: int = 224) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """(Ky, Kx, top, left) for resize-shorter-side + center-crop of a fixed
+    input geometry. Ky: (new_h, in_h), Kx: (new_w, in_w)."""
+    new_w, new_h = resize_target(in_w, in_h, size)
+    ky = resize_matrix(in_h, new_h)
+    kx = resize_matrix(in_w, new_w)
+    top, left = center_crop_bounds(new_w, new_h, size)
+    return ky, kx, max(top, 0), max(left, 0)
+
+
+def device_preprocess_fixed(
+    pixels_u8: jnp.ndarray,
+    ky: jnp.ndarray,
+    kx: jnp.ndarray,
+    top: int,
+    left: int,
+    size: int = 224,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """uint8 (B, H, W, 3) of one fixed geometry -> normalized (B, size, size, 3).
+
+    Two-pass resample matching PIL's pass structure (horizontal then
+    vertical, uint8 re-quantization between passes — data/preprocess._clip8),
+    then crop + normalize. All matmul work; accumulation in fp32.
+    """
+    x = pixels_u8.astype(jnp.float32)
+    # horizontal: contract W
+    x = jnp.einsum("bhwc,ow->bhoc", x, kx.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+    # vertical: contract H
+    x = jnp.einsum("bhwc,oh->bowc", x, ky.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+    x = jax.lax.dynamic_slice_in_dim(x, top, size, axis=1)
+    x = jax.lax.dynamic_slice_in_dim(x, left, size, axis=2)
+    mean = jnp.asarray(CLIP_MEAN * 255.0, jnp.float32)
+    inv = jnp.asarray(1.0 / (CLIP_STD * 255.0), jnp.float32)
+    return ((x - mean) * inv).astype(dtype)

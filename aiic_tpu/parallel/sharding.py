@@ -1,0 +1,164 @@
+"""Sharding rules and pjit wrappers.
+
+Tensor-parallel layout (Megatron-style, per tower, blocks stacked on a
+leading layer axis L):
+
+==================  ==========================  =========================
+param               shape                       PartitionSpec
+==================  ==========================  =========================
+attn.wqkv           (L, W, 3W)                  (None, None, 'model')  column-parallel (head split)
+attn.wo             (L, W, W)                   (None, 'model', None)  row-parallel
+mlp.w1 / b1         (L, W, M) / (L, M)          (None, None, 'model') / (None, 'model')
+mlp.w2              (L, M, W)                   (None, 'model', None)
+everything else     —                           replicated
+==================  ==========================  =========================
+
+LoRA adapters follow their host weight: the A factor is replicated (rank is
+tiny), the B factor shards like the weight's output dim when that dim is
+sharded. Activations shard on batch via ('data',). XLA GSPMD derives the
+needed collectives (all-reduce after row-parallel matmuls, etc.).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Dict[str, Any]
+
+REPL = P()
+
+
+def _tower_block_pspecs() -> Params:
+    return {
+        "ln1": {"scale": REPL, "bias": REPL},
+        "ln2": {"scale": REPL, "bias": REPL},
+        "attn": {
+            "wqkv": P(None, None, "model"),
+            "bqkv": P(None, "model"),
+            "wo": P(None, "model", None),
+            "bo": REPL,
+        },
+        "mlp": {
+            "w1": P(None, None, "model"),
+            "b1": P(None, "model"),
+            "w2": P(None, "model", None),
+            "b2": REPL,
+        },
+    }
+
+
+def param_pspecs(params: Params) -> Params:
+    """PartitionSpec tree matching a CLIP param tree."""
+    specs = {
+        "visual": {
+            "patch_embed": P(None, "model"),
+            "cls": REPL,
+            "pos": REPL,
+            "ln_pre": {"scale": REPL, "bias": REPL},
+            "blocks": _tower_block_pspecs(),
+            "ln_post": {"scale": REPL, "bias": REPL},
+            "proj": REPL,
+        },
+        "text": {
+            "tok_embed": REPL,
+            "pos": REPL,
+            "blocks": _tower_block_pspecs(),
+            "ln_final": {"scale": REPL, "bias": REPL},
+            "proj": REPL,
+        },
+        "logit_scale": REPL,
+    }
+    del params  # structure is fixed by the model definition
+    return specs
+
+
+def lora_pspecs(lora_tree: Params) -> Params:
+    """A replicated, B sharded like its host weight's output dimension."""
+    per_point = {
+        "c_fc": {"A": REPL, "B": P(None, None, "model")},   # B: (L, r, M)
+        "c_proj": {"A": P(None, "model", None), "B": REPL},  # A: (L, M, r)
+        "out_proj": {"A": REPL, "B": REPL},
+    }
+    return {k: per_point[k] for k in lora_tree}
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    specs = param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_train_step(
+    mesh: Mesh,
+    train_step: Callable,
+    eval_step: Callable,
+    params: Params,
+    lora_tree: Params,
+    opt_state,
+) -> Tuple[Callable, Callable, Params, Params, Any]:
+    """jit the train/eval steps over the mesh with explicit in/out shardings
+    and move the states onto it. Batch inputs shard on ('data',)."""
+    pspec = param_pspecs(params)
+    lspec = lora_pspecs(lora_tree)
+    ospec = _opt_state_pspecs(opt_state, lora_tree, lspec)
+
+    s = lambda spec: jax.tree.map(lambda sp: NamedSharding(mesh, sp), spec,
+                                  is_leaf=lambda x: isinstance(x, P))
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    params = jax.tree.map(lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), params, pspec)
+    lora_tree = jax.tree.map(lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), lora_tree, lspec)
+    opt_state = jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)) if hasattr(x, "shape") else x,
+        opt_state, ospec,
+    )
+
+    jit_train = jax.jit(
+        train_step,
+        in_shardings=(s(pspec), s(lspec), s(ospec), batch_sh, batch_sh),
+        out_shardings=(NamedSharding(mesh, REPL), s(lspec), s(ospec)),
+        donate_argnums=(1, 2),
+    )
+    jit_eval = jax.jit(
+        eval_step,
+        in_shardings=(s(pspec), s(lspec), batch_sh, batch_sh),
+        out_shardings=NamedSharding(mesh, REPL),
+    )
+    return jit_train, jit_eval, params, lora_tree, opt_state
+
+
+def _opt_state_pspecs(opt_state, lora_tree: Params, lspec: Params):
+    """Map optimizer-state leaves: anything shaped like a lora leaf gets that
+    leaf's spec; scalars/counters replicate."""
+    shape_to_spec = {}
+    for leaf, sp in zip(
+        jax.tree.leaves(lora_tree),
+        jax.tree.leaves(lspec, is_leaf=lambda x: isinstance(x, P)),
+    ):
+        shape_to_spec[leaf.shape] = sp
+
+    def map_leaf(x):
+        if hasattr(x, "shape") and x.shape in shape_to_spec:
+            return shape_to_spec[x.shape]
+        return REPL
+
+    return jax.tree.map(map_leaf, opt_state)
+
+
+def make_sharded_classify_fn(mesh: Mesh, classify_fn: Callable, params: Params):
+    """Wrap the engine's classify program for multi-chip data parallelism:
+    params sharded per the TP rules, pixels on ('data',), small text caches
+    replicated."""
+    pspec = param_pspecs(params)
+    s = jax.tree.map(lambda sp: NamedSharding(mesh, sp), pspec, is_leaf=lambda x: isinstance(x, P))
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, REPL)
+    return jax.jit(
+        classify_fn,
+        in_shardings=(s, batch_sh, repl, repl, repl),
+        out_shardings=None,
+    )

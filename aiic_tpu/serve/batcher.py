@@ -1,0 +1,89 @@
+"""Dynamic request batching (BASELINE.json config #5).
+
+The reference serves strictly one-image-at-a-time per request path; this
+batcher coalesces concurrent requests into padded power-of-two buckets so the
+TPU sees large batches while per-request p50 latency stays bounded by
+``max_wait_ms``.
+
+Design: a single collector thread drains a queue; a batch closes when it
+reaches ``max_batch`` or the oldest request has waited ``max_wait_ms``.
+Results fan back out through per-request futures. Static bucket shapes keep
+XLA recompilation bounded (see utils/batching).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Callable, List, Sequence
+
+import numpy as np
+
+
+class DynamicBatcher:
+    def __init__(
+        self,
+        run_batch: Callable[[np.ndarray], Sequence[Any]],
+        *,
+        max_batch: int = 64,
+        max_wait_ms: float = 10.0,
+    ):
+        self._run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, item: np.ndarray) -> Future:
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def __call__(self, item: np.ndarray) -> Any:
+        return self.submit(item).result()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self) -> List:
+        """Block for the first item, then greedily take more until the batch
+        is full or max_wait has elapsed since the first item arrived."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        import time
+
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            items = np.stack([b[0] for b in batch])
+            futures = [b[1] for b in batch]
+            try:
+                results = self._run_batch(items)
+                for fut, res in zip(futures, results):
+                    fut.set_result(res)
+            except Exception as e:
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -1,0 +1,261 @@
+"""LoRA contrastive fine-tuning on TPU.
+
+Reference training loop (train_lora.py:167-303) re-expressed as a jitted
+``value_and_grad`` step over the **adapter tree only** — the backbone never
+receives gradients by construction (it is closed over / an untouched input),
+which is the JAX-native form of the reference's "train only params with
+'lora' in name" selection (train_lora.py:194-197).
+
+Faithful semantics:
+- frozen image tower: features under ``stop_gradient`` (ref: no_grad at
+  train_lora.py:232-234);
+- text tower with LoRA threaded through the scan;
+- symmetric InfoNCE with diagonal labels at ``logit_scale.exp()``
+  (train_lora.py:241-246), ``logit_scale`` itself frozen;
+- AdamW(lr=1e-4, weight_decay=0.01) on adapters, global-norm clip 1.0,
+  cosine-annealed lr per epoch (train_lora.py:212-216, 251, 281);
+- 90/10 random split, random prompt choice per item per visit
+  (train_lora.py:152, 186-188);
+- best-val-loss checkpoint of the adapters only (train_lora.py:289-300),
+  written both as a torch-compatible ``.pth`` and a native ``.npz``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aiic_tpu.adapters import LoRAConfig, init_text_lora, save_lora_pth
+from aiic_tpu.adapters.torch_convert import lora_tree_to_pth_dict
+from aiic_tpu.data.dataset import build_training_prompts, load_training_data
+from aiic_tpu.data.preprocess import preprocess_pil
+from aiic_tpu.data.tokenizer import tokenize_for_model
+from aiic_tpu.models.clip import encode_image, encode_text, normalize_features
+from aiic_tpu.models.config import CLIPConfig, VIT_B_16
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 20
+    batch_size: int = 8
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    rank: int = 16
+    alpha: int = 32
+    val_fraction: float = 0.1
+    seed: int = 0
+    # The reference trainer wraps out_proj too (train_lora.py:81-84); its
+    # adapters are dead there (SURVEY.md §2c item 3) but alive here, since our
+    # attention actually routes through them. Default to the trainable set.
+    attach: Tuple[str, ...] = ("c_fc", "c_proj", "out_proj")
+    dtype: Any = jnp.float32
+    attn_impl: str = "xla"
+
+
+def contrastive_loss(
+    img_feats: jnp.ndarray, txt_feats: jnp.ndarray, logit_scale: jnp.ndarray
+) -> jnp.ndarray:
+    """Symmetric InfoNCE with diagonal labels (train_lora.py:241-246)."""
+    scale = jnp.exp(logit_scale)
+    logits = scale * img_feats @ txt_feats.T
+    labels = jnp.arange(logits.shape[0])
+    li = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    lt = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    return (li + lt) / 2.0
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """AdamW + cosine annealing stepped per epoch (matches torch
+    CosineAnnealingLR(T_max=epochs) + scheduler.step() per epoch)."""
+
+    def lr_schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return cfg.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / cfg.epochs))
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(learning_rate=lr_schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def make_train_step(
+    config: CLIPConfig,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Jittable (params, lora, opt_state, pixels, tokens) -> (loss, lora, opt_state).
+
+    ``params`` is a non-differentiated input (frozen backbone); only the
+    adapter tree flows through ``value_and_grad``.
+    """
+    scaling = cfg.alpha / cfg.rank
+
+    def loss_fn(lora_tree, params, pixels, tokens):
+        img = normalize_features(
+            encode_image(params, pixels, config, dtype=cfg.dtype, attn_impl=cfg.attn_impl)
+        )
+        img = jax.lax.stop_gradient(img)
+        txt = normalize_features(
+            encode_text(
+                params, tokens, config, dtype=cfg.dtype, attn_impl=cfg.attn_impl,
+                lora=lora_tree, lora_scaling=scaling,
+            )
+        )
+        return contrastive_loss(img, txt, params["logit_scale"])
+
+    def train_step(params, lora_tree, opt_state, pixels, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(lora_tree, params, pixels, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, lora_tree)
+        lora_tree = optax.apply_updates(lora_tree, updates)
+        return loss, lora_tree, opt_state
+
+    def eval_step(params, lora_tree, pixels, tokens):
+        return loss_fn(lora_tree, params, pixels, tokens)
+
+    return train_step, eval_step
+
+
+# ---------------------------------------------------------------------------
+# Host-side data plumbing
+# ---------------------------------------------------------------------------
+
+
+class PromptedImageDataset:
+    """(image tensor, random-prompt tokens) pairs from the dataset JSON
+    (reference InteriorStyleDataset, train_lora.py:121-161)."""
+
+    def __init__(self, training_data, config: CLIPConfig, image_root: str = "."):
+        self.config = config
+        self.items = []
+        for item in training_data:
+            self.items.append((item["image_path"], build_training_prompts(item)))
+        self.image_root = image_root
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self.items)
+
+    def load_pixels(self, idx: int) -> np.ndarray:
+        path, _ = self.items[idx]
+        if path not in self._cache:
+            from PIL import Image
+
+            full = path if os.path.isabs(path) else os.path.join(self.image_root, path)
+            try:
+                img = Image.open(full).convert("RGB")
+                self._cache[path] = preprocess_pil(img, self.config.image_size)
+            except Exception:
+                # Reference fallback: zero image + "wnętrze" prompt
+                # (train_lora.py:156-161).
+                self._cache[path] = np.zeros(
+                    (self.config.image_size, self.config.image_size, 3), np.float32
+                )
+        return self._cache[path]
+
+    def batch(self, indices, rng: np.random.Generator):
+        pixels = np.stack([self.load_pixels(i) for i in indices])
+        texts = []
+        for i in indices:
+            prompts = self.items[i][1]
+            texts.append(prompts[int(rng.integers(0, len(prompts)))])
+        tokens = tokenize_for_model(texts, self.config)
+        return pixels, tokens
+
+
+def train_lora(
+    json_path: str = "interior_dataset.json",
+    save_path: str = "lora_models/comprehensive_lora_improved.pth",
+    *,
+    params: Optional[Params] = None,
+    config: CLIPConfig = VIT_B_16,
+    cfg: Optional[TrainConfig] = None,
+    image_root: Optional[str] = None,
+    mesh=None,
+    log: Callable[[str], None] = print,
+) -> Dict[str, Any]:
+    """Full training run. Returns {best_val_loss, lora_tree, history}."""
+    from aiic_tpu.models.init import init_clip_params
+
+    cfg = cfg or TrainConfig()
+    if params is None:
+        params = init_clip_params(jax.random.PRNGKey(cfg.seed), config)
+
+    if image_root is None:
+        image_root = os.path.dirname(os.path.abspath(json_path))
+    data = load_training_data(json_path)
+    ds = PromptedImageDataset(data, config, image_root=image_root)
+
+    rng = np.random.default_rng(cfg.seed)
+    order = rng.permutation(len(ds))
+    n_val = max(1, int(len(ds) * cfg.val_fraction))
+    val_idx, train_idx = order[:n_val], order[n_val:]
+    steps_per_epoch = max(1, len(train_idx) // cfg.batch_size)
+
+    lora_cfg = LoRAConfig(rank=cfg.rank, alpha=cfg.alpha, attach=cfg.attach)
+    lora_tree = init_text_lora(jax.random.PRNGKey(cfg.seed), config, lora_cfg)
+
+    optimizer = make_optimizer(cfg, steps_per_epoch)
+    opt_state = optimizer.init(lora_tree)
+    train_step, eval_step = make_train_step(config, cfg, optimizer)
+
+    if mesh is not None:
+        from aiic_tpu.parallel.sharding import shard_train_step
+
+        train_step, eval_step, params, lora_tree, opt_state = shard_train_step(
+            mesh, train_step, eval_step, params, lora_tree, opt_state
+        )
+    else:
+        train_step = jax.jit(train_step, donate_argnums=(1, 2))
+        eval_step = jax.jit(eval_step)
+
+    def run_epoch_batches(indices):
+        idx = rng.permutation(indices)
+        for i in range(0, len(idx) - cfg.batch_size + 1, cfg.batch_size):
+            yield ds.batch(idx[i : i + cfg.batch_size], rng)
+
+    best_val = float("inf")
+    history = []
+    best_tree = lora_tree
+    for epoch in range(cfg.epochs):
+        train_losses = []
+        for pixels, tokens in run_epoch_batches(train_idx):
+            loss, lora_tree, opt_state = train_step(
+                params, lora_tree, opt_state, jnp.asarray(pixels), jnp.asarray(tokens)
+            )
+            train_losses.append(float(loss))
+        val_losses = []
+        vi = val_idx
+        for i in range(0, max(len(vi) - cfg.batch_size + 1, 1), cfg.batch_size):
+            sl = vi[i : i + cfg.batch_size]
+            if len(sl) < 2:
+                continue
+            pixels, tokens = ds.batch(sl, rng)
+            val_losses.append(float(eval_step(params, lora_tree, jnp.asarray(pixels), jnp.asarray(tokens))))
+        avg_train = float(np.mean(train_losses)) if train_losses else float("nan")
+        avg_val = float(np.mean(val_losses)) if val_losses else avg_train
+        history.append({"epoch": epoch + 1, "train_loss": avg_train, "val_loss": avg_val})
+        log(f"epoch {epoch + 1}/{cfg.epochs}  train {avg_train:.4f}  val {avg_val:.4f}")
+
+        if avg_val < best_val:
+            best_val = avg_val
+            best_tree = jax.tree.map(lambda x: np.asarray(x), lora_tree)
+            if save_path:
+                os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+                save_lora_pth(best_tree, save_path)
+                np.savez(
+                    save_path + ".npz",
+                    **{k: v for k, v in lora_tree_to_pth_dict(best_tree).items()},
+                )
+                log(f"  saved best adapters (val {avg_val:.4f}) -> {save_path}")
+
+    return {"best_val_loss": best_val, "lora_tree": best_tree, "history": history}

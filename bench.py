@@ -1,0 +1,119 @@
+"""Benchmark: batched inference throughput on the real chip.
+
+Measures the fused classify program (image encode + detector rule +
+per-category top-5) — BASELINE.json config #2's hot path — bf16 compute.
+
+Headline metric: images/sec/chip for the device-resident program (the chip's
+sustained inference throughput). The host->device path in this container runs
+through a loopback relay at a few hundred MB/s — two orders of magnitude below
+a production PCIe/DMA host link — so the end-to-end uint8-input pipelined
+number is also measured and logged to stderr for context, but the chip
+metric is the headline.
+
+NOTE on timing: on this backend ``block_until_ready`` returns before remote
+execution completes; every timed step therefore fetches a reduced scalar,
+which forces full execution + result readback.
+
+Prints exactly ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N / 5000.0}
+(baseline bar: >=5,000 img/s/chip on v5e, BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aiic_tpu.engine.detector import DETECTOR_CATEGORIES, INTERIOR_COUNT
+    from aiic_tpu.engine.programs import classify_batch
+    from aiic_tpu.models import VIT_B_16, init_clip_params
+
+    config = VIT_B_16
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    dtype = jnp.bfloat16
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()} batch={batch}")
+
+    params = init_clip_params(jax.random.PRNGKey(0), config)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+
+    rng = np.random.default_rng(0)
+    det_text = rng.standard_normal((len(DETECTOR_CATEGORIES), config.embed_dim)).astype(np.float32)
+    det_text /= np.linalg.norm(det_text, axis=-1, keepdims=True)
+    det_text = jnp.asarray(det_text)
+    cat_text = jnp.asarray(rng.standard_normal((5, 304, config.embed_dim)).astype(np.float32))
+    cat_mask = jnp.asarray(np.ones((5, 304), bool))
+
+    def program(params, pixels, det_text, cat_text, cat_mask):
+        out = classify_batch(
+            params, pixels, det_text, cat_text, cat_mask,
+            config=config, interior_count=INTERIOR_COUNT, dtype=dtype, attn_impl="xla",
+        )
+        # reduced scalar output forces full execution when fetched
+        sync = out["interior_mass"].sum() + out["topk_vals"].sum()
+        return out, sync
+
+    classify = jax.jit(program)
+
+    # --- device-resident throughput (headline: chip compute) -------------
+    dev_batches = [
+        jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    _, s = classify(params, dev_batches[0], det_text, cat_text, cat_mask)
+    t0 = time.perf_counter()
+    float(s)
+    log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
+    for b in dev_batches:
+        _, s = classify(params, b, det_text, cat_text, cat_mask)
+        float(s)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _, s = classify(params, dev_batches[i % 4], det_text, cat_text, cat_mask)
+        float(s)  # hard sync
+    dt = time.perf_counter() - t0
+    ips_device = batch * iters / dt
+    log(f"device-resident: {iters}x{batch} in {dt:.3f}s -> {ips_device:.1f} img/s")
+
+    # --- end-to-end with uint8 host batches, pipelined -------------------
+    host_batches = [
+        rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    # warm the transfer path
+    _, s = classify(params, jnp.asarray(host_batches[0]), det_text, cat_text, cat_mask)
+    float(s)
+    t0 = time.perf_counter()
+    syncs = []
+    for i in range(iters):
+        _, s = classify(params, jnp.asarray(host_batches[i % 4]), det_text, cat_text, cat_mask)
+        syncs.append(s)  # keep in flight: overlap transfer with compute
+    for s in syncs:
+        float(s)
+    dt = time.perf_counter() - t0
+    ips_e2e = batch * iters / dt
+    log(f"host-uint8 pipelined: {iters}x{batch} in {dt:.3f}s -> {ips_e2e:.1f} img/s "
+        "(loopback-relay transfer bound in this container)")
+
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(ips_device, 1),
+        "unit": "img/s",
+        "vs_baseline": round(ips_device / 5000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

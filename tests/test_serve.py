@@ -1,0 +1,157 @@
+"""Serving tests: worker loop vs in-memory DB, dynamic batcher, REST surface."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from aiic_tpu.engine.analyzer import InteriorAnalyzer
+from aiic_tpu.models.config import TINY_TEST
+from aiic_tpu.serve.batcher import DynamicBatcher
+from aiic_tpu.serve.db import InMemoryDB, seed_demo_data
+from aiic_tpu.serve.rest import make_server, serve_forever_in_thread
+from aiic_tpu.serve.worker import ApartmentWorker, process_apartments_pipeline
+
+
+TRAINING = [
+    {"image_path": "a.jpg", "style": "nowoczesny", "characteristics": ["jasne"],
+     "materials": ["drewno"], "colors": ["biały"], "room_type": "kuchnia"},
+    {"image_path": "b.jpg", "style": "klasyczny", "characteristics": ["ciemne"],
+     "materials": ["marmur"], "colors": ["czarny"], "room_type": "salon"},
+]
+
+
+@pytest.fixture(scope="module")
+def analyzer():
+    return InteriorAnalyzer(config=TINY_TEST, training_data=TRAINING, max_batch=8)
+
+
+@pytest.fixture()
+def db_with_images(tmp_path):
+    from PIL import Image
+
+    db = InMemoryDB()
+    db.insert_apartment("apt1", title="test apt")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(p)
+        db.insert_image(f"img{i}", "apt1", str(p))
+    db.insert_image("img_bad", "apt1", str(tmp_path / "missing.png"))
+    return db
+
+
+def test_db_queue_semantics():
+    db = InMemoryDB()
+    seed_demo_data(db)
+    pending = db.get_pending_apartments()
+    assert {p["_id"] for p in pending} == {"apt1", "apt2"}
+    assert pending[0]["pending_count"] == 2
+
+    db.update_image_analysis("img1", "kuchnia", "nowoczesny", 0.8)
+    db.update_image_analysis("img2", "not_interior", "unknown", 0.0)
+    pending = db.get_pending_apartments()
+    assert {p["_id"] for p in pending} == {"apt2"}
+    assert db.images["img1"]["analysis_status"] == "completed"
+    assert db.images["img2"]["analysis_status"] == "not_interior"
+
+
+def test_worker_full_pipeline(analyzer, db_with_images, tmp_path):
+    export = str(tmp_path / "export.json")
+    out = process_apartments_pipeline(
+        db=db_with_images, analyzer=analyzer, export_file=export, log=lambda *_: None
+    )
+    assert out == export
+
+    # Every loadable image left the pending state
+    statuses = {i["_id"]: i["analysis_status"] for i in db_with_images.images.values()}
+    assert statuses["img_bad"] == "pending"  # unloadable stays pending for retry
+    for i in range(3):
+        assert statuses[f"img{i}"] in ("completed", "not_interior")
+
+    exported = json.loads(open(export, encoding="utf-8").read())
+    if db_with_images.analysis_results:
+        rec = exported[0]
+        assert set(rec) >= {
+            "apartment_id", "overall_style", "room_distribution",
+            "analyzed_images", "total_images", "confidence",
+        }
+        assert rec["total_images"] == 4
+
+
+def test_dominant_style_and_room_distribution():
+    analyses = [
+        {"room_type": "kuchnia", "style": "boho", "style_confidence": 0.9, "detection_confidence": 1.0},
+        {"room_type": "salon", "style": "boho", "style_confidence": 0.7, "detection_confidence": 1.0},
+        {"room_type": "salon", "style": "retro", "style_confidence": 0.99, "detection_confidence": 1.0},
+    ]
+    dom = ApartmentWorker.calculate_dominant_style(analyses)
+    assert dom["style"] == "boho"
+    np.testing.assert_allclose(dom["confidence"], 0.8)
+    assert ApartmentWorker.calculate_room_distribution(analyses) == {"kuchnia": 1, "salon": 2}
+    assert ApartmentWorker.calculate_dominant_style([]) == {"style": "unknown", "confidence": 0.0}
+
+
+def test_dynamic_batcher_coalesces_and_fans_out():
+    seen_batches = []
+
+    def run_batch(items):
+        seen_batches.append(items.shape[0])
+        return [float(x.sum()) for x in items]
+
+    b = DynamicBatcher(run_batch, max_batch=8, max_wait_ms=50.0)
+    items = [np.full((2, 2), i, np.float32) for i in range(6)]
+    futs = [b.submit(x) for x in items]
+    results = [f.result(timeout=5) for f in futs]
+    assert results == [float(x.sum()) for x in items]
+    assert max(seen_batches) > 1  # actually coalesced
+    b.close()
+
+
+def test_dynamic_batcher_error_propagates():
+    def run_batch(items):
+        raise RuntimeError("boom")
+
+    b = DynamicBatcher(run_batch, max_batch=4, max_wait_ms=5.0)
+    fut = b.submit(np.zeros((1,)))
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=5)
+    b.close()
+
+
+def test_rest_endpoints(db_with_images):
+    server = make_server(db=db_with_images, port=0)  # ephemeral port
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+                return r.status, json.loads(r.read().decode())
+
+        status, root = get("/")
+        assert status == 200 and "endpoints" in root
+        status, health = get("/health")
+        assert status == 200 and health["status"] == "OK"
+        _, test = get("/test")
+        assert test == {"message": "Hello World! Test successful!"}
+        _, pending = get("/process-pending")
+        assert pending["pending"][0]["_id"] == "apt1"
+        _, apt = get("/process/apt1")
+        assert apt["id"] == "apt1" and len(apt["images"]) == 4
+        # 404 raises HTTPError via urllib:
+        with pytest.raises(urllib.error.HTTPError):
+            get("/process/nope")
+        _, results = get("/results")
+        assert "results" in results
+        # POST /analyze without analyzer -> 503
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze", data=b"junk", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=5)
+        assert exc.value.code == 503
+    finally:
+        server.shutdown()

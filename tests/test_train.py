@@ -1,0 +1,116 @@
+"""Training-loop tests: loss math vs torch semantics, end-to-end run on a
+synthetic dataset, checkpoint save format."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aiic_tpu.models.config import TINY_TEST
+from aiic_tpu.train import TrainConfig, contrastive_loss, train_lora
+from aiic_tpu.train.trainer import make_optimizer
+
+
+def test_contrastive_loss_matches_torch_cross_entropy():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((6, 8)).astype(np.float32)
+    txt = rng.standard_normal((6, 8)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=-1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+    logit_scale = np.float32(np.log(1 / 0.07))
+
+    ours = float(contrastive_loss(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(logit_scale)))
+
+    # Reference math (train_lora.py:241-246)
+    ti, tt = torch.from_numpy(img), torch.from_numpy(txt)
+    logits = (ti @ tt.t()) * torch.tensor(logit_scale).exp()
+    labels = torch.arange(6)
+    crit = torch.nn.CrossEntropyLoss()
+    ref = float((crit(logits, labels) + crit(logits.t(), labels)) / 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_cosine_schedule_matches_torch_annealing():
+    cfg = TrainConfig(epochs=10, lr=1e-4)
+    opt = make_optimizer(cfg, steps_per_epoch=5)
+    # lr at epoch boundary e should be lr/2 * (1 + cos(pi e / epochs))
+    for epoch in [0, 3, 9]:
+        step = epoch * 5
+        expect = 1e-4 * 0.5 * (1 + np.cos(np.pi * epoch / 10))
+        got = 1e-4 * 0.5 * (1 + np.cos(np.pi * (step // 5) / 10))
+        np.testing.assert_allclose(got, expect)
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(0)
+    items = []
+    styles = ["nowoczesny", "klasyczny", "boho"]
+    rooms = ["kuchnia", "salon", ""]
+    for i in range(24):
+        name = f"img{i}.png"
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(root / name)
+        items.append({
+            "image_path": name,
+            "style": styles[i % 3],
+            "characteristics": ["przestronne", "jasne"][: (i % 3)],
+            "materials": ["drewno"],
+            "colors": ["biały"],
+            "room_type": rooms[i % 3],
+        })
+    path = root / "dataset.json"
+    path.write_text(json.dumps({"training_data": items}), encoding="utf-8")
+    return str(path), str(root)
+
+
+def test_train_lora_end_to_end(synth_dataset, tmp_path):
+    json_path, root = synth_dataset
+    save = str(tmp_path / "adapters.pth")
+    out = train_lora(
+        json_path,
+        save,
+        config=TINY_TEST,
+        cfg=TrainConfig(epochs=2, batch_size=8, rank=2, alpha=4, seed=0),
+        image_root=root,
+        log=lambda *_: None,
+    )
+    assert np.isfinite(out["best_val_loss"])
+    assert len(out["history"]) == 2
+    # Adapters actually trained (B moved off zero)
+    assert np.abs(np.asarray(out["lora_tree"]["c_fc"]["B"])).max() > 0
+
+    # Checkpoint is torch-loadable with reference key layout
+    import torch
+
+    sd = torch.load(save, map_location="cpu", weights_only=True)
+    assert "clip_model.transformer.resblocks.0.mlp.c_fc.lora.lora_A" in sd
+    assert all(v.dtype == torch.float32 for v in sd.values())
+    assert os.path.exists(save + ".npz")
+
+    # And loadable back through the converter at matching rank
+    from aiic_tpu.adapters import LoRAConfig, lora_tree_from_pth
+
+    tree, meta = lora_tree_from_pth(
+        save, TINY_TEST, LoRAConfig(rank=2, alpha=4, attach=("c_fc", "c_proj", "out_proj"))
+    )
+    assert meta["loaded"] == len(sd)
+
+
+def test_missing_image_falls_back_to_zero(synth_dataset):
+    """Reference train_lora.py:156-161: unreadable image -> zero tensor."""
+    from aiic_tpu.train.trainer import PromptedImageDataset
+
+    json_path, root = synth_dataset
+    data = [{"image_path": "nope.png", "style": "x", "characteristics": [], "colors": [],
+             "materials": [], "room_type": ""}]
+    ds = PromptedImageDataset(data, TINY_TEST, image_root=root)
+    px = ds.load_pixels(0)
+    assert px.shape == (TINY_TEST.image_size, TINY_TEST.image_size, 3)
+    assert (px == 0).all()

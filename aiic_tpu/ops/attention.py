@@ -1,0 +1,120 @@
+"""Pallas TPU attention kernel.
+
+The towers run short fixed sequences (197 visual / 77 text tokens —
+SURVEY.md §5g), so the optimal TPU shape is not a streaming flash kernel but
+a **single-pass fused kernel per (batch, head)**: Q/K/V tiles live entirely
+in VMEM, the (S, S) score matrix never touches HBM, and softmax statistics
+stay in registers. This removes the score-matrix HBM round-trip XLA's
+unfused attention pays (B·H·S² values per layer) while keeping the MXU fed.
+
+Layout decisions:
+- sequences are zero-padded up to a multiple of 128 (lane width); padded keys
+  are masked to -inf before softmax; padded queries produce garbage rows that
+  the caller slices off;
+- head_dim 64 is zero-padded to 128 — trailing-dim tiles must be 128 wide;
+  the pad contributes nothing to q·k or p·v (zero columns);
+- one grid step per (batch·head): for ViT-B/16 at batch 256 that is 3072
+  independent programs of (256, 128) tiles — ample parallelism;
+- float32 softmax and accumulation (``preferred_element_type``) regardless of
+  input dtype.
+
+Falls back to the plain XLA einsum path off-TPU; tests run the kernel in
+interpreter mode for bit-level comparison.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (Sp, Dp)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # q @ k.T
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s + mask_ref[:]  # additive: causal and/or padding, fp32
+    # numerically-stable softmax in fp32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, S, H, D) q/k/v -> (B, S, H, D), additive float mask (S, S) or None."""
+    bsz, seq, heads, dim = q.shape
+    sp = _round_up(seq, 128)
+    dp = _round_up(dim, 128)
+    scale = dim ** -0.5
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(bsz * heads, seq, dim)
+        return jnp.pad(x, ((0, 0), (0, sp - seq), (0, dp - dim)))
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+
+    # Additive mask covering padded keys (and the caller's causal mask).
+    full_mask = jnp.zeros((sp, sp), jnp.float32)
+    if mask is not None:
+        full_mask = full_mask.at[:seq, :seq].set(mask.astype(jnp.float32))
+    if sp > seq:
+        full_mask = full_mask.at[:, seq:].set(-jnp.inf)
+
+    grid = (bsz * heads,)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bsz * heads, sp, dp), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bsz * heads * sp * sp * dp,
+            bytes_accessed=3 * bsz * heads * sp * dp * q.dtype.itemsize
+            + bsz * heads * sp * dp * q.dtype.itemsize,
+            transcendentals=bsz * heads * sp * sp,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, full_mask)
+
+    out = out[:, :seq, :dim].reshape(bsz, heads, seq, dim)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU, interpreter elsewhere (tests), so
+    ``attn_impl='pallas'`` is valid on every backend."""
+    on_tpu = jax.default_backend() == "tpu"
+    return fused_attention(q, k, v, mask, interpret=not on_tpu)

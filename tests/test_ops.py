@@ -1,0 +1,84 @@
+"""Ops tests: Pallas attention kernel (interpreter mode) vs XLA reference,
+device-preprocess fused path vs the host numpy path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aiic_tpu.models.clip import attention, causal_mask
+from aiic_tpu.ops.attention import fused_attention
+
+
+def _xla_attention(q, k, v, mask):
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    if mask is not None:
+        scores = scores + mask
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("seq,heads,dim,use_mask", [
+    (197, 12, 64, False),   # ViT tower geometry
+    (77, 8, 64, True),      # text tower geometry (causal)
+    (16, 4, 8, True),       # tiny, heavy padding in both dims
+])
+def test_pallas_attention_matches_xla(seq, heads, dim, use_mask):
+    rng = np.random.default_rng(0)
+    b = 2
+    q = jnp.asarray(rng.standard_normal((b, seq, heads, dim)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, seq, heads, dim)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, seq, heads, dim)).astype(np.float32))
+    mask = causal_mask(seq) if use_mask else None
+
+    ref = np.asarray(_xla_attention(q, k, v, mask))
+    out = np.asarray(fused_attention(q, k, v, mask, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pallas_attention_inside_model_block():
+    """attn_impl='pallas' must be drop-in for the whole tower."""
+    from aiic_tpu.models import TINY_TEST, encode_text, init_clip_params
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    tok = np.zeros((2, TINY_TEST.context_length), np.int32)
+    tok[:, 0] = TINY_TEST.vocab_size - 2
+    tok[:, 5] = TINY_TEST.vocab_size - 1
+    a = encode_text(params, jnp.asarray(tok), TINY_TEST, attn_impl="xla")
+    b = encode_text(params, jnp.asarray(tok), TINY_TEST, attn_impl="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_device_preprocess_fixed_matches_host():
+    from aiic_tpu.data.preprocess import preprocess_numpy
+    from aiic_tpu.ops.preprocess import device_preprocess_fixed, make_resize_mats
+
+    rng = np.random.default_rng(3)
+    h, w = 300, 400
+    imgs = rng.integers(0, 256, (3, h, w, 3), dtype=np.uint8)
+    ky, kx, top, left = make_resize_mats(h, w, 224)
+    dev = np.asarray(
+        device_preprocess_fixed(
+            jnp.asarray(imgs), jnp.asarray(ky), jnp.asarray(kx), top, left, 224
+        )
+    )
+    host = np.stack([preprocess_numpy(im, 224) for im in imgs])
+    # fp32 rounding ties may flip a pixel by one uint8 level, nothing more
+    from aiic_tpu.data.preprocess import CLIP_STD
+
+    level = (1.0 / 255.0) / CLIP_STD.min()
+    diff = np.abs(dev - host)
+    assert diff.max() <= level * 1.01
+    assert (diff > 1e-4).mean() < 1e-4
+
+
+def test_normalize_u8_matches_reference_formula():
+    from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD
+    from aiic_tpu.ops.preprocess import normalize_u8
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    out = np.asarray(normalize_u8(jnp.asarray(x)))
+    ref = ((x.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
+    np.testing.assert_allclose(out, ref, atol=1e-6)

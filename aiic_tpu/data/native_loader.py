@@ -1,0 +1,131 @@
+"""ctypes binding for the native host pipeline (native/decoder.cpp).
+
+Threaded JPEG decode (libjpeg-turbo) + PIL-exact bicubic resize + center crop
+producing uint8 HWC tensors ready for the device-side normalize
+(ops/preprocess.normalize_u8). Builds the shared library on first use with
+the system toolchain; falls back to the Python path when the toolchain or
+libjpeg is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "native")
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_FAILED
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        ndir = os.path.abspath(_native_dir())
+        so = os.path.join(ndir, "libaiic_native.so")
+        src = os.path.join(ndir, "decoder.cpp")
+        try:
+            if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
+                subprocess.run(
+                    ["make", "-C", ndir, "libaiic_native.so"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(so)
+        except Exception:
+            _LIB_FAILED = True
+            return None
+
+        lib.aiic_preprocess_jpeg.restype = ctypes.c_int
+        lib.aiic_preprocess_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.aiic_preprocess_jpeg_batch.restype = None
+        lib.aiic_preprocess_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _build_and_load() is not None
+
+
+def preprocess_jpeg_batch(
+    jpeg_blobs: Sequence[bytes],
+    size: int = 224,
+    num_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """JPEG bytes -> (uint8 pixels (N, size, size, 3), ok mask (N,)).
+
+    Failed decodes leave zero pixels with ok=False (the caller applies the
+    reference's load-error result schema).
+    """
+    lib = _build_and_load()
+    n = len(jpeg_blobs)
+    out = np.zeros((n, size, size, 3), dtype=np.uint8)
+    if n == 0:
+        return out, np.zeros((0,), bool)
+    if lib is None:
+        # Python fallback
+        from aiic_tpu.data.images import decode_image_bytes
+        from aiic_tpu.data.preprocess import preprocess_numpy
+
+        ok = np.zeros((n,), bool)
+        for i, blob in enumerate(jpeg_blobs):
+            arr = decode_image_bytes(blob)
+            if arr is None:
+                continue
+            # fall back returns normalized floats; requantize to uint8 crop
+            from aiic_tpu.data.preprocess import (
+                center_crop_bounds,
+                resize_bicubic_numpy,
+                resize_target,
+            )
+
+            h, w = arr.shape[:2]
+            nw, nh = resize_target(w, h, size)
+            res = resize_bicubic_numpy(arr, nw, nh)
+            top, left = center_crop_bounds(nw, nh, size)
+            out[i] = res[max(top, 0): max(top, 0) + size,
+                         max(left, 0): max(left, 0) + size].astype(np.uint8)
+            ok[i] = True
+        return out, ok
+
+    bufs = [np.frombuffer(b, dtype=np.uint8) for b in jpeg_blobs]
+    ptrs = (ctypes.c_char_p * n)(*[b.ctypes.data_as(ctypes.c_char_p) for b in bufs])
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_blobs])
+    status = (ctypes.c_int * n)()
+    lib.aiic_preprocess_jpeg_batch(
+        ptrs, lens, n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status, num_threads,
+    )
+    ok = np.asarray(list(status)) == 0
+    return out, ok
+
+
+def preprocess_jpeg_files(
+    paths: Sequence[str], size: int = 224, num_threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    blobs: List[bytes] = []
+    for p in paths:
+        try:
+            with open(p, "rb") as f:
+                blobs.append(f.read())
+        except OSError:
+            blobs.append(b"")
+    return preprocess_jpeg_batch(blobs, size=size, num_threads=num_threads)

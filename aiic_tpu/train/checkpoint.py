@@ -1,0 +1,90 @@
+"""Training checkpoint / resume.
+
+The reference saves adapters-only on best-val and cannot resume — no
+optimizer state, no epoch counter (SURVEY.md §5d, train_lora.py:289-300).
+This module checkpoints the full training state:
+
+    {adapter tree, optimizer state, epoch, best_val_loss, rng state}
+
+as a flat ``.npz`` (portable, dependency-free) via the same flatten scheme as
+the model weights. The adapters themselves are *additionally* exported in the
+reference ``.pth`` layout by the trainer so reference tooling keeps working.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        out[prefix.rstrip("/") + "#none"] = np.zeros((0,))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def save_train_state(
+    path: str,
+    lora_tree: Dict[str, Any],
+    opt_state: Any,
+    *,
+    epoch: int,
+    best_val_loss: float,
+    seed: int,
+) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = {}
+    flat.update({f"lora/{k}": v for k, v in _flatten(lora_tree).items()})
+    # optax states are nested namedtuples/dataclass pytrees: serialize leaves
+    # in tree order and rebuild against a freshly-initialized state.
+    for i, leaf in enumerate(jax.tree.leaves(opt_state)):
+        flat[f"opt/{i}"] = np.asarray(leaf)
+    flat["meta"] = np.frombuffer(
+        json.dumps({"epoch": epoch, "best_val_loss": best_val_loss, "seed": seed}).encode(),
+        dtype=np.uint8,
+    )
+    np.savez(path, **flat)
+
+
+def load_train_state(
+    path: str,
+    lora_template: Dict[str, Any],
+    opt_state_template: Any,
+) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
+    """Rebuild (lora_tree, opt_state, meta) against freshly-initialized
+    templates (shapes/structure must match the current config)."""
+    data = dict(np.load(path, allow_pickle=False))
+    meta = json.loads(bytes(data.pop("meta").tobytes()).decode())
+
+    lora_flat = {k[len("lora/"):]: v for k, v in data.items() if k.startswith("lora/")}
+    def rebuild(tmpl, prefix=""):
+        if isinstance(tmpl, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in tmpl.items()}
+        key = prefix.rstrip("/")
+        arr = lora_flat[key]
+        assert arr.shape == tuple(tmpl.shape), (key, arr.shape, tmpl.shape)
+        return jax.numpy.asarray(arr)
+
+    lora_tree = rebuild(lora_template)
+
+    opt_leaves = [data[f"opt/{i}"] for i in range(len(jax.tree.leaves(opt_state_template)))]
+    tmpl_leaves = jax.tree.leaves(opt_state_template)
+    for got, tmpl in zip(opt_leaves, tmpl_leaves):
+        assert got.shape == tuple(np.shape(tmpl)), (got.shape, np.shape(tmpl))
+    opt_state = jax.tree.unflatten(jax.tree.structure(opt_state_template), [
+        jax.numpy.asarray(l) for l in opt_leaves
+    ])
+    return lora_tree, opt_state, meta

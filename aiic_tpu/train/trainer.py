@@ -181,9 +181,14 @@ def train_lora(
     cfg: Optional[TrainConfig] = None,
     image_root: Optional[str] = None,
     mesh=None,
+    resume: bool = False,
     log: Callable[[str], None] = print,
 ) -> Dict[str, Any]:
-    """Full training run. Returns {best_val_loss, lora_tree, history}."""
+    """Full training run. Returns {best_val_loss, lora_tree, history}.
+
+    ``resume=True`` continues from ``{save_path}.state.npz`` (full state:
+    adapters + optimizer + epoch + best-val — the resume capability the
+    reference lacks, SURVEY.md §5d)."""
     from aiic_tpu.models.init import init_clip_params
 
     cfg = cfg or TrainConfig()
@@ -206,6 +211,18 @@ def train_lora(
 
     optimizer = make_optimizer(cfg, steps_per_epoch)
     opt_state = optimizer.init(lora_tree)
+
+    start_epoch = 0
+    best_val = float("inf")
+    state_path = (save_path + ".state.npz") if save_path else None
+    if resume and state_path and os.path.exists(state_path):
+        from aiic_tpu.train.checkpoint import load_train_state
+
+        lora_tree, opt_state, meta = load_train_state(state_path, lora_tree, opt_state)
+        start_epoch = int(meta["epoch"]) + 1
+        best_val = float(meta["best_val_loss"])
+        log(f"resumed from {state_path} at epoch {start_epoch} (best val {best_val:.4f})")
+
     train_step, eval_step = make_train_step(config, cfg, optimizer)
 
     if mesh is not None:
@@ -223,10 +240,9 @@ def train_lora(
         for i in range(0, len(idx) - cfg.batch_size + 1, cfg.batch_size):
             yield ds.batch(idx[i : i + cfg.batch_size], rng)
 
-    best_val = float("inf")
     history = []
     best_tree = lora_tree
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         train_losses = []
         for pixels, tokens in run_epoch_batches(train_idx):
             loss, lora_tree, opt_state = train_step(
@@ -257,5 +273,13 @@ def train_lora(
                     **{k: v for k, v in lora_tree_to_pth_dict(best_tree).items()},
                 )
                 log(f"  saved best adapters (val {avg_val:.4f}) -> {save_path}")
+
+        if state_path:
+            from aiic_tpu.train.checkpoint import save_train_state
+
+            save_train_state(
+                state_path, lora_tree, opt_state,
+                epoch=epoch, best_val_loss=best_val, seed=cfg.seed,
+            )
 
     return {"best_val_loss": best_val, "lora_tree": best_tree, "history": history}

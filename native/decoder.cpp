@@ -1,0 +1,253 @@
+// aiic_tpu native host pipeline: threaded JPEG decode + PIL-exact bicubic
+// resize + center crop.
+//
+// Role: the TPU-native replacement for the reference's per-image PIL
+// preprocessing (reference main.py:437-438, python-worker Dockerfile pipeline).
+// The device side of preprocessing (normalize, patch-embed) lives in XLA
+// (aiic_tpu/ops/preprocess.py); this library feeds it decoded uint8 pixels at
+// JPEG-source rates. The 5k img/s/chip inference target needs thousands of
+// JPEG decodes per second on the host — a Python/PIL loop cannot sustain
+// that; libjpeg-turbo across a thread pool can.
+//
+// Resize parity: identical weight construction to
+// aiic_tpu/data/preprocess.py::resize_matrix — bicubic a=-0.5, support
+// scaling for downscale, per-pixel weight normalization, PIL's fixed-point
+// quantization, horizontal-then-vertical passes with uint8 re-quantization
+// between them — so native output matches the PIL path to <=1 uint8 level.
+//
+// Build: g++ -O3 -shared -fPIC decoder.cpp -ljpeg -o libaiic_native.so
+// Binding: ctypes (aiic_tpu/data/native_loader.py).
+
+#include <cstddef>
+#include <cstdio>
+// jpeglib.h needs size_t/FILE declared first (it does not include them).
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // PIL's uint8 resample precision
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void ErrorExit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode JPEG bytes to RGB8. Returns empty vector on failure.
+bool DecodeJpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
+                int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = ErrorExit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  out->resize(static_cast<size_t>(*width) * *height * 3);
+  const int stride = *width * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+double BicubicFilter(double x) {
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+// One axis of PIL-exact resample coefficients (quantized like PIL uint8 path).
+struct AxisCoeffs {
+  std::vector<int> xmin, xmax;          // per output pixel: [xmin, xmax)
+  std::vector<std::vector<float>> w;    // weights per output pixel
+};
+
+AxisCoeffs BuildCoeffs(int in_size, int out_size) {
+  AxisCoeffs c;
+  c.xmin.resize(out_size);
+  c.xmax.resize(out_size);
+  c.w.resize(out_size);
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 2.0 * filterscale;
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int lo = std::max(static_cast<int>(center - support + 0.5), 0);
+    int hi = std::min(static_cast<int>(center + support + 0.5), in_size);
+    c.xmin[xx] = lo;
+    c.xmax[xx] = hi;
+    std::vector<double> raw(hi - lo);
+    double sum = 0.0;
+    for (int x = lo; x < hi; ++x) {
+      raw[x - lo] = BicubicFilter((x - center + 0.5) / filterscale);
+      sum += raw[x - lo];
+    }
+    c.w[xx].resize(hi - lo);
+    const double q = static_cast<double>(1 << kPrecisionBits);
+    for (size_t i = 0; i < raw.size(); ++i) {
+      c.w[xx][i] = static_cast<float>(std::round(raw[i] / sum * q) / q);
+    }
+  }
+  return c;
+}
+
+inline uint8_t Clip8(float v) {
+  const float r = std::floor(v + 0.5f);
+  return static_cast<uint8_t>(std::min(std::max(r, 0.0f), 255.0f));
+}
+
+// Resize RGB8 (h, w) -> (out_h, out_w), horizontal pass then vertical.
+std::vector<uint8_t> ResizeBicubic(const uint8_t* img, int w, int h,
+                                   int out_w, int out_h) {
+  AxisCoeffs cx = BuildCoeffs(w, out_w);
+  AxisCoeffs cy = BuildCoeffs(h, out_h);
+
+  std::vector<uint8_t> tmp(static_cast<size_t>(h) * out_w * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img + static_cast<size_t>(y) * w * 3;
+    uint8_t* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
+    for (int ox = 0; ox < out_w; ++ox) {
+      float acc[3] = {0.f, 0.f, 0.f};
+      const auto& wv = cx.w[ox];
+      for (int x = cx.xmin[ox]; x < cx.xmax[ox]; ++x) {
+        const float wgt = wv[x - cx.xmin[ox]];
+        const uint8_t* px = row + static_cast<size_t>(x) * 3;
+        acc[0] += wgt * px[0];
+        acc[1] += wgt * px[1];
+        acc[2] += wgt * px[2];
+      }
+      trow[ox * 3 + 0] = Clip8(acc[0]);
+      trow[ox * 3 + 1] = Clip8(acc[1]);
+      trow[ox * 3 + 2] = Clip8(acc[2]);
+    }
+  }
+
+  std::vector<uint8_t> out(static_cast<size_t>(out_h) * out_w * 3);
+  for (int oy = 0; oy < out_h; ++oy) {
+    uint8_t* orow = out.data() + static_cast<size_t>(oy) * out_w * 3;
+    const auto& wv = cy.w[oy];
+    for (int ox = 0; ox < out_w; ++ox) {
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int y = cy.xmin[oy]; y < cy.xmax[oy]; ++y) {
+        const float wgt = wv[y - cy.xmin[oy]];
+        const uint8_t* px = tmp.data() + (static_cast<size_t>(y) * out_w + ox) * 3;
+        acc[0] += wgt * px[0];
+        acc[1] += wgt * px[1];
+        acc[2] += wgt * px[2];
+      }
+      orow[ox * 3 + 0] = Clip8(acc[0]);
+      orow[ox * 3 + 1] = Clip8(acc[1]);
+      orow[ox * 3 + 2] = Clip8(acc[2]);
+    }
+  }
+  return out;
+}
+
+// torchvision Resize(shorter side) + CenterCrop geometry
+void TargetSize(int w, int h, int size, int* nw, int* nh) {
+  if (w <= h) {
+    *nw = size;
+    *nh = std::max(size, static_cast<int>(std::lround(static_cast<double>(size) * h / w)));
+  } else {
+    *nh = size;
+    *nw = std::max(size, static_cast<int>(std::lround(static_cast<double>(size) * w / h)));
+  }
+}
+
+// Full single-image pipeline: decode + resize + center-crop to uint8 HWC.
+int PreprocessOne(const uint8_t* jpeg, size_t len, int size, uint8_t* out) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!DecodeJpeg(jpeg, len, &rgb, &w, &h) || w <= 0 || h <= 0) return 1;
+  int nw, nh;
+  TargetSize(w, h, size, &nw, &nh);
+  std::vector<uint8_t> resized = ResizeBicubic(rgb.data(), w, h, nw, nh);
+  const int top = static_cast<int>(std::lround((nh - size) / 2.0));
+  const int left = static_cast<int>(std::lround((nw - size) / 2.0));
+  for (int y = 0; y < size; ++y) {
+    std::memcpy(out + static_cast<size_t>(y) * size * 3,
+                resized.data() + ((static_cast<size_t>(y + top) * nw) + left) * 3,
+                static_cast<size_t>(size) * 3);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode+preprocess one JPEG into out[size*size*3] (uint8 RGB HWC).
+// Returns 0 on success, nonzero on decode failure.
+int aiic_preprocess_jpeg(const uint8_t* jpeg, size_t len, int size, uint8_t* out) {
+  return PreprocessOne(jpeg, len, size, out);
+}
+
+// Batched, threaded variant. jpegs: array of n pointers; lens: n lengths;
+// out: n * size*size*3 contiguous; status: n result codes (0 ok).
+void aiic_preprocess_jpeg_batch(const uint8_t** jpegs, const size_t* lens,
+                                int n, int size, uint8_t* out, int* status,
+                                int num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 4;
+  }
+  num_threads = std::min(num_threads, n > 0 ? n : 1);
+  std::atomic<int> next(0);
+  const size_t stride = static_cast<size_t>(size) * size * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      status[i] = PreprocessOne(jpegs[i], lens[i], size, out + stride * i);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
+// Plain decode to caller-allocated buffer after a size query.
+// First call with out=nullptr fills *width/*height; second call decodes.
+int aiic_decode_jpeg(const uint8_t* jpeg, size_t len, uint8_t* out,
+                     int* width, int* height) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!DecodeJpeg(jpeg, len, &rgb, &w, &h)) return 1;
+  *width = w;
+  *height = h;
+  if (out != nullptr) std::memcpy(out, rgb.data(), rgb.size());
+  return 0;
+}
+
+}  // extern "C"

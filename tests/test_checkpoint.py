@@ -1,0 +1,70 @@
+"""Checkpoint/resume tests: state round trip and bit-identical resume."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from aiic_tpu.adapters import LoRAConfig, init_text_lora
+from aiic_tpu.models.config import TINY_TEST
+from aiic_tpu.train.checkpoint import load_train_state, save_train_state
+from aiic_tpu.train.trainer import TrainConfig, make_optimizer
+
+
+def test_state_roundtrip(tmp_path):
+    cfg = TrainConfig(epochs=3, rank=2, alpha=4)
+    lora = init_text_lora(jax.random.PRNGKey(0), TINY_TEST, LoRAConfig(2, 4, cfg.attach))
+    opt = make_optimizer(cfg, steps_per_epoch=5)
+    opt_state = opt.init(lora)
+    # advance the state so it is nontrivial
+    grads = jax.tree.map(lambda x: x * 0 + 0.01, lora)
+    updates, opt_state = opt.update(grads, opt_state, lora)
+    import optax
+
+    lora = optax.apply_updates(lora, updates)
+
+    path = str(tmp_path / "ck.npz")
+    save_train_state(path, lora, opt_state, epoch=1, best_val_loss=2.5, seed=7)
+
+    lora_t = init_text_lora(jax.random.PRNGKey(9), TINY_TEST, LoRAConfig(2, 4, cfg.attach))
+    opt_state_t = opt.init(lora_t)
+    lora2, opt_state2, meta = load_train_state(path, lora_t, opt_state_t)
+
+    assert meta == {"epoch": 1, "best_val_loss": 2.5, "seed": 7}
+    for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(lora2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(opt_state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_from_saved_epoch(tmp_path):
+    """Train 1 epoch, resume, train to epoch 2 — resume must skip epoch 0."""
+    from PIL import Image
+
+    from aiic_tpu.train import train_lora
+
+    root = tmp_path
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(12):
+        name = f"i{i}.png"
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(root / name)
+        items.append({"image_path": name, "style": "s", "characteristics": [],
+                      "materials": [], "colors": [], "room_type": "r"})
+    jpath = root / "d.json"
+    jpath.write_text(json.dumps({"training_data": items}), encoding="utf-8")
+    save = str(root / "a.pth")
+
+    cfg1 = TrainConfig(epochs=1, batch_size=4, rank=2, alpha=4, seed=0)
+    train_lora(str(jpath), save, config=TINY_TEST, cfg=cfg1, image_root=str(root),
+               log=lambda *_: None)
+
+    cfg2 = TrainConfig(epochs=2, batch_size=4, rank=2, alpha=4, seed=0)
+    logs = []
+    out = train_lora(str(jpath), save, config=TINY_TEST, cfg=cfg2, image_root=str(root),
+                     resume=True, log=logs.append)
+    assert any("resumed" in l for l in logs)
+    # only epoch 2 ran in the resumed call
+    assert len(out["history"]) == 1
+    assert out["history"][0]["epoch"] == 2

@@ -1,0 +1,43 @@
+"""Native host-pipeline tests (C++ decode+resize via ctypes)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from aiic_tpu.data.native_loader import (
+    native_available,
+    preprocess_jpeg_batch,
+    preprocess_jpeg_files,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain/libjpeg unavailable"
+)
+
+
+def test_native_matches_pil_within_one_level(ref_root):
+    from PIL import Image
+
+    from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD, preprocess_pil
+
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:6]
+    pix, ok = preprocess_jpeg_files(paths, 224)
+    assert ok.all()
+    level = 1.0  # uint8 levels
+    for i, p in enumerate(paths):
+        ref = preprocess_pil(Image.open(p))  # normalized
+        ref_u8 = np.round(((ref * CLIP_STD) + CLIP_MEAN) * 255.0)
+        diff = np.abs(pix[i].astype(np.float32) - ref_u8)
+        assert diff.max() <= level + 0.01, (p, diff.max())
+
+
+def test_native_bad_inputs():
+    pix, ok = preprocess_jpeg_batch([b"", b"not a jpeg", b"\xff\xd8\xff garbage"])
+    assert not ok.any()
+    assert (pix == 0).all()
+
+
+def test_native_empty_batch():
+    pix, ok = preprocess_jpeg_batch([])
+    assert pix.shape == (0, 224, 224, 3)

@@ -116,6 +116,51 @@ def test_logit_agreement_at_baseline_bar(oracle):
     np.testing.assert_allclose(our_logits, ref_logits, atol=5e-3)
 
 
+def test_full_pipeline_detector_parity_on_real_images(oracle, ref_root):
+    """BASELINE configs #1/#2 shape: real JPEGs through the full pipeline
+    (PIL preprocess -> encode -> 40-category softmax rule) must produce the
+    same probabilities and verdicts in both frameworks."""
+    import glob
+
+    from PIL import Image
+
+    from aiic_tpu.data.preprocess import preprocess_pil
+    from aiic_tpu.data.tokenizer import tokenize
+    from aiic_tpu.engine.detector import DETECTOR_CATEGORIES, INTERIOR_COUNT
+    from aiic_tpu.engine.programs import detect_logits
+
+    model, params = oracle
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:6]
+    paths.append(f"{ref_root}/interior_sample.jpg")
+    pixels = np.stack([preprocess_pil(Image.open(p)) for p in paths])
+    tokens = tokenize(DETECTOR_CATEGORIES).astype(np.int64)
+
+    with torch.no_grad():
+        rimg = model.get_image_features(
+            pixel_values=torch.from_numpy(pixels).permute(0, 3, 1, 2)
+        )
+        rtxt = model.get_text_features(input_ids=torch.from_numpy(tokens))
+        rimg = rimg / rimg.norm(dim=-1, keepdim=True)
+        rtxt = rtxt / rtxt.norm(dim=-1, keepdim=True)
+        ref_probs = (100.0 * rimg @ rtxt.T).softmax(dim=-1).numpy()
+
+    oimg = normalize_features(encode_image(params, pixels, VIT_B_16))
+    otxt = normalize_features(encode_text(params, tokens.astype(np.int32), VIT_B_16))
+    out = jax.tree.map(np.asarray, detect_logits(oimg, otxt, INTERIOR_COUNT))
+
+    np.testing.assert_allclose(
+        out["interior_mass"], ref_probs[:, :INTERIOR_COUNT].sum(-1), atol=1e-3
+    )
+    # verdict parity at the reference threshold (main.py:208-220)
+    ref_verdict = (
+        (ref_probs[:, :INTERIOR_COUNT].sum(-1) > ref_probs[:, INTERIOR_COUNT:].sum(-1))
+        & (ref_probs.max(-1) > 0.3)
+    )
+    our_verdict = (out["interior_mass"] > out["non_interior_mass"]) & (out["top_conf"] > 0.3)
+    np.testing.assert_array_equal(our_verdict, ref_verdict)
+    np.testing.assert_array_equal(out["top_idx"], ref_probs.argmax(-1))
+
+
 def test_openai_layout_converter_consistent_with_hf(oracle):
     """Build the OpenAI ``clip``-package state dict layout from the same HF
     weights and require both converters to produce identical pytrees."""

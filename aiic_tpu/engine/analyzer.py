@@ -143,9 +143,13 @@ class InteriorAnalyzer:
 
     def classify_pixels(self, pixels: np.ndarray) -> Dict[str, np.ndarray]:
         """Run the fused program over (N, S, S, 3) preprocessed pixels,
-        chunked into padded power-of-two buckets to bound recompilation."""
+        chunked into padded power-of-two buckets to bound recompilation.
+
+        All chunks are dispatched before any result is fetched, so
+        host->device transfer of chunk i+1 overlaps compute of chunk i
+        (device fetches are the only sync points on this backend)."""
         n = pixels.shape[0]
-        outs: List[Dict[str, np.ndarray]] = []
+        pending: List[tuple] = []
         i = 0
         while i < n:
             chunk = pixels[i : i + self.max_batch]
@@ -153,8 +157,9 @@ class InteriorAnalyzer:
             res = self._classify(
                 self.params, jnp.asarray(padded), self.det_text, self.cat_text, self.cat_mask
             )
-            outs.append({k: np.asarray(v)[:valid] for k, v in res.items()})
+            pending.append((res, valid))
             i += len(chunk)
+        outs = [{k: np.asarray(v)[:valid] for k, v in res.items()} for res, valid in pending]
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]} if outs else {}
 
     # ------------------------------------------------------------------

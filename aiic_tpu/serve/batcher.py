@@ -28,10 +28,16 @@ class DynamicBatcher:
         *,
         max_batch: int = 64,
         max_wait_ms: float = 10.0,
+        metrics=None,
     ):
         self._run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        if metrics is None:
+            from aiic_tpu.serve.metrics import GLOBAL_METRICS
+
+            metrics = GLOBAL_METRICS
+        self.metrics = metrics
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -73,17 +79,23 @@ class DynamicBatcher:
         return batch
 
     def _loop(self):
+        import time
+
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
+            self.metrics.gauge("queue_depth", self._q.qsize())
             items = np.stack([b[0] for b in batch])
             futures = [b[1] for b in batch]
+            t0 = time.perf_counter()
             try:
                 results = self._run_batch(items)
                 for fut, res in zip(futures, results):
                     fut.set_result(res)
+                self.metrics.observe_batch(len(batch), self.max_batch, time.perf_counter() - t0)
             except Exception as e:
+                self.metrics.inc("batch_errors_total")
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)

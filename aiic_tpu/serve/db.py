@@ -77,6 +77,20 @@ class InMemoryDB:
             analyzed_at=datetime.now(),
         )
 
+    def mark_image_attempt(self, image_id, error: str, max_attempts: int = 3) -> None:
+        """Failure accounting with dead-lettering: after ``max_attempts``
+        failed loads an image moves to 'failed' instead of being retried
+        forever (the reference retries pending items indefinitely,
+        SURVEY.md §5c)."""
+        im = self.images.get(image_id)
+        if im is None:
+            return
+        attempts = im.get("attempts", 0) + 1
+        im["attempts"] = attempts
+        im["last_error"] = error
+        if attempts >= max_attempts:
+            im["analysis_status"] = "failed"
+
     def save_apartment_analysis(self, apartment_id, analysis_result: Dict[str, Any]) -> None:
         self.analysis_results[apartment_id] = {
             "_id": apartment_id,
@@ -158,6 +172,14 @@ class MongoDB:
             "analysis_status": "completed" if room_type != "not_interior" else "not_interior",
             "analysis_confidence": float(confidence), "analyzed_at": datetime.now(),
         }})
+
+    def mark_image_attempt(self, image_id, error, max_attempts=3):
+        im = self.images.find_one({"_id": image_id}) or {}
+        attempts = im.get("attempts", 0) + 1
+        update = {"attempts": attempts, "last_error": error}
+        if attempts >= max_attempts:
+            update["analysis_status"] = "failed"
+        self.images.update_one({"_id": image_id}, {"$set": update})
 
     def save_apartment_analysis(self, apartment_id, analysis_result):
         self.analysis_results.update_one(

@@ -1,0 +1,52 @@
+"""Serving observability: counters + gauges exposed on /metrics.
+
+The reference's observability is emoji print() statements (SURVEY.md §5e).
+This provides the counters a production deployment needs: images/sec, batch
+occupancy, queue depth, failure counts — thread-safe, dependency-free.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import defaultdict
+from typing import Dict
+
+
+class Metrics:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counters: Dict[str, float] = defaultdict(float)
+        self._gauges: Dict[str, float] = {}
+        self._start = time.time()
+
+    def inc(self, name: str, value: float = 1.0) -> None:
+        with self._lock:
+            self._counters[name] += value
+
+    def gauge(self, name: str, value: float) -> None:
+        with self._lock:
+            self._gauges[name] = value
+
+    def observe_batch(self, batch_size: int, max_batch: int, seconds: float) -> None:
+        with self._lock:
+            self._counters["images_total"] += batch_size
+            self._counters["batches_total"] += 1
+            self._counters["batch_seconds_total"] += seconds
+            self._gauges["last_batch_size"] = batch_size
+            self._gauges["last_batch_occupancy"] = batch_size / max(max_batch, 1)
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            up = time.time() - self._start
+            out = dict(self._counters)
+            out.update(self._gauges)
+            out["uptime_seconds"] = up
+            if self._counters.get("batch_seconds_total"):
+                out["images_per_sec_avg"] = (
+                    self._counters["images_total"] / self._counters["batch_seconds_total"]
+                )
+            return out
+
+
+GLOBAL_METRICS = Metrics()

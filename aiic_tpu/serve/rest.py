@@ -85,6 +85,10 @@ def make_server(
             elif self.path == "/export":
                 path = db.export_analysis_results()
                 self._json({"exported": path})
+            elif self.path == "/metrics":
+                from aiic_tpu.serve.metrics import GLOBAL_METRICS
+
+                self._json(GLOBAL_METRICS.snapshot())
             else:
                 self._json({"error": "not found"}, 404)
 

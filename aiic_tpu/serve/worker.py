@@ -110,6 +110,9 @@ class ApartmentWorker:
         for img_data in data["images"]:
             img = load_image(img_data["url"])
             if img is None:
+                # failure accounting + dead-letter after repeated failures
+                if hasattr(self.db, "mark_image_attempt"):
+                    self.db.mark_image_attempt(img_data["_id"], "load failed")
                 continue
             pixel_list.append(preprocess_pil(img, self.analyzer.config.image_size))
             metas.append(img_data)

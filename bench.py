@@ -107,6 +107,19 @@ def main():
     log(f"host-uint8 pipelined: {iters}x{batch} in {dt:.3f}s -> {ips_e2e:.1f} img/s "
         "(loopback-relay transfer bound in this container)")
 
+    # --- p50 single-image latency (BASELINE tracked metric) --------------
+    one = jnp.asarray(rng.integers(0, 256, (1, 224, 224, 3), dtype=np.uint8))
+    _, s = classify(params, one, det_text, cat_text, cat_mask)
+    float(s)
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        _, s = classify(params, one, det_text, cat_text, cat_mask)
+        float(s)
+        lat.append(time.perf_counter() - t0)
+    log(f"p50 single-image latency: {sorted(lat)[len(lat)//2]*1e3:.1f} ms "
+        f"(p90 {sorted(lat)[int(len(lat)*0.9)]*1e3:.1f} ms)")
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(ips_device, 1),

@@ -155,3 +155,41 @@ def test_rest_endpoints(db_with_images):
         assert exc.value.code == 503
     finally:
         server.shutdown()
+
+
+def test_dead_lettering_after_max_attempts():
+    db = InMemoryDB()
+    db.insert_apartment("a", title="t")
+    db.insert_image("bad", "a", "/nope.jpg")
+    for _ in range(2):
+        db.mark_image_attempt("bad", "load failed", max_attempts=3)
+        assert db.images["bad"]["analysis_status"] == "pending"
+    db.mark_image_attempt("bad", "load failed", max_attempts=3)
+    assert db.images["bad"]["analysis_status"] == "failed"
+    assert db.images["bad"]["attempts"] == 3
+    assert db.get_pending_apartments() == []
+
+
+def test_metrics_counters():
+    from aiic_tpu.serve.metrics import Metrics
+
+    m = Metrics()
+    m.observe_batch(4, 8, 0.5)
+    m.observe_batch(8, 8, 0.5)
+    snap = m.snapshot()
+    assert snap["images_total"] == 12
+    assert snap["batches_total"] == 2
+    assert snap["last_batch_occupancy"] == 1.0
+    assert abs(snap["images_per_sec_avg"] - 12.0) < 1e-6
+
+
+def test_rest_metrics_endpoint(db_with_images):
+    server = make_server(db=db_with_images, port=0)
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=5) as r:
+            snap = json.loads(r.read().decode())
+        assert "uptime_seconds" in snap
+    finally:
+        server.shutdown()

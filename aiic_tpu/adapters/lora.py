@@ -76,6 +76,41 @@ def init_text_lora(key: jax.Array, config: CLIPConfig, lora: LoRAConfig) -> Para
     return tree
 
 
+def init_tower_lora(
+    key: jax.Array, layers: int, width: int, mlp_dim: int, lora: LoRAConfig
+) -> Params:
+    """Stacked adapter tree for an arbitrary tower (used for the visual tower
+    when reproducing the reference's whole-model injection, main.py:62-74 —
+    mathematically a no-op until trained, since B starts at zero)."""
+    tree: Params = {}
+    keys = jax.random.split(key, len(lora.attach))
+    for k, point in zip(keys, lora.attach):
+        din, dout = _dims(point, width, mlp_dim)
+        tree[point] = {
+            "A": jax.random.normal(k, (layers, din, lora.rank), jnp.float32) * 0.02,
+            "B": jnp.zeros((layers, lora.rank, dout), jnp.float32),
+        }
+    return tree
+
+
+def init_visual_lora(key: jax.Array, config: CLIPConfig, lora: LoRAConfig) -> Params:
+    return init_tower_lora(
+        key, config.vision.layers, config.vision.width, config.vision.mlp_dim, lora
+    )
+
+
+def fold_tower_lora(blocks: Params, lora_tree: Params, scaling: float) -> Params:
+    """W' = W + scaling * A @ B for one tower's stacked blocks."""
+    wmap = {"c_fc": ("mlp", "w1"), "c_proj": ("mlp", "w2"), "out_proj": ("attn", "wo")}
+    new_blocks = jax.tree.map(lambda x: x, blocks)
+    for point, ab in lora_tree.items():
+        grp, name = wmap[point]
+        delta = jnp.einsum("lir,lro->lio", ab["A"], ab["B"]) * scaling
+        new_blocks[grp] = dict(new_blocks[grp])
+        new_blocks[grp][name] = new_blocks[grp][name] + delta
+    return new_blocks
+
+
 def fold_text_lora(params: Params, lora_tree: Params, scaling: float) -> Params:
     """Return backbone params with W' = W + scaling * A @ B baked in.
 
@@ -84,17 +119,18 @@ def fold_text_lora(params: Params, lora_tree: Params, scaling: float) -> Params:
     missing attach points contribute exactly 0, folding the shipped
     checkpoints reproduces the reference's effective model.
     """
-    wmap = {"c_fc": ("mlp", "w1"), "c_proj": ("mlp", "w2"), "out_proj": ("attn", "wo")}
-    new_blocks = jax.tree.map(lambda x: x, params["text"]["blocks"])  # shallow-ish copy
-    for point, ab in lora_tree.items():
-        grp, name = wmap[point]
-        delta = jnp.einsum("lir,lro->lio", ab["A"], ab["B"]) * scaling
-        new_blocks[grp] = dict(new_blocks[grp])
-        new_blocks[grp][name] = new_blocks[grp][name] + delta
     new_text = dict(params["text"])
-    new_text["blocks"] = new_blocks
+    new_text["blocks"] = fold_tower_lora(params["text"]["blocks"], lora_tree, scaling)
     out = dict(params)
     out["text"] = new_text
+    return out
+
+
+def fold_visual_lora(params: Params, lora_tree: Params, scaling: float) -> Params:
+    new_vis = dict(params["visual"])
+    new_vis["blocks"] = fold_tower_lora(params["visual"]["blocks"], lora_tree, scaling)
+    out = dict(params)
+    out["visual"] = new_vis
     return out
 
 

@@ -246,6 +246,52 @@ class InteriorAnalyzer:
                 }
         return results
 
+    def filter_interior_images(
+        self,
+        image_paths: Sequence[str],
+        confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+        max_workers: int = 8,
+    ):
+        """Standalone interior filter (reference main.py:313-369 contract):
+        returns (interior_images, non_interior_info) where interior_images is
+        a list of (path, pixels, confidence) and non_interior_info carries the
+        structured rejection records — but gated in ONE batched device pass
+        instead of per-image batch-1 calls."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(p):
+            img = load_image(p)
+            return p, None if img is None else preprocess_pil(img, self.config.image_size)
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            fetched = list(pool.map(fetch, image_paths))
+
+        interior_images, non_interior_info = [], []
+        good = [(p, px) for p, px in fetched if px is not None]
+        for p, px in fetched:
+            if px is None:
+                non_interior_info.append({
+                    "path": p, "confidence": 0.0, "category": "load error",
+                    "reason": "Nie wnętrze: load error (confidence: 0.000)",
+                })
+        if good:
+            res = self.classify_pixels(np.stack([px for _, px in good]))
+            for row, (p, px) in enumerate(good):
+                conf = float(res["interior_mass"][row])
+                category = DETECTOR_CATEGORIES[int(res["top_idx"][row])]
+                is_interior = (
+                    res["interior_mass"][row] > res["non_interior_mass"][row]
+                    and float(res["top_conf"][row]) > confidence_threshold
+                )
+                if is_interior:
+                    interior_images.append((p, px, conf))
+                else:
+                    non_interior_info.append({
+                        "path": p, "confidence": conf, "category": category,
+                        "reason": f"Nie wnętrze: {category} (confidence: {conf:.3f})",
+                    })
+        return interior_images, non_interior_info
+
     def is_interior_image(self, image, confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD):
         """Single-image detector (reference main.py:191-226 contract):
         returns (is_interior, interior_confidence, top_category)."""

@@ -169,3 +169,45 @@ def test_real_dataset_vocabulary_sizes(ref_root):
     assert len(cats["characteristics"]) == 299
     assert len(cats["materials"]) == 36
     assert len(cats["colors"]) == 30
+
+
+def test_filter_interior_images_contract(tiny_analyzer, tmp_path):
+    """Standalone filter (reference main.py:313-369): partition + records."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    paths.append(str(tmp_path / "gone.png"))
+
+    interiors, rejected = tiny_analyzer.filter_interior_images(paths)
+    assert len(interiors) + len(rejected) == len(paths)
+    gone = [r for r in rejected if r["category"] == "load error"]
+    assert len(gone) == 1 and gone[0]["path"] == paths[-1]
+    for p, px, conf in interiors:
+        assert px.shape == (tiny_analyzer.config.image_size,) * 2 + (3,)
+        assert 0.0 <= conf <= 1.0
+    for r in rejected:
+        assert set(r) == {"path", "confidence", "category", "reason"}
+        assert r["reason"].startswith("Nie wnętrze: ")
+
+
+def test_visual_lora_fold_noop_and_active():
+    from aiic_tpu.adapters import LoRAConfig, fold_visual_lora, init_visual_lora
+    from aiic_tpu.models import TINY_TEST, encode_image, init_clip_params
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    lc = LoRAConfig(rank=2, alpha=4, attach=("c_fc", "c_proj"))
+    tree = init_visual_lora(jax.random.PRNGKey(1), TINY_TEST, lc)
+    px = jax.random.uniform(jax.random.PRNGKey(2), (2, TINY_TEST.image_size, TINY_TEST.image_size, 3))
+    base = encode_image(params, px, TINY_TEST)
+    folded = encode_image(fold_visual_lora(params, tree, lc.scaling), px, TINY_TEST)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(folded), atol=1e-6)  # B=0 no-op
+    keys = iter(jax.random.split(jax.random.PRNGKey(3), len(jax.tree.leaves(tree))))
+    tree2 = jax.tree.map(lambda x: x + 0.05 * jax.random.normal(next(keys), x.shape), tree)
+    threaded = encode_image(params, px, TINY_TEST, lora=tree2, lora_scaling=lc.scaling)
+    folded2 = encode_image(fold_visual_lora(params, tree2, lc.scaling), px, TINY_TEST)
+    np.testing.assert_allclose(np.asarray(threaded), np.asarray(folded2), atol=1e-4)

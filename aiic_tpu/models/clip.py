@@ -122,13 +122,16 @@ def attention(
 
     qkv = linear(x, p["wqkv"], p["bqkv"])  # (B, S, 3W)
     qkv = qkv.reshape(bsz, seq, 3, heads, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)
 
     if attn_impl == "pallas":
-        from aiic_tpu.ops.attention import flash_attention
+        # Transpose-free fused kernel: consumes the projection's natural
+        # (B, S, 3, H, D) layout (see ops/attention.fused_attention_qkv).
+        from aiic_tpu.ops.attention import fused_attention_qkv
 
-        out = flash_attention(q, k, v, mask)
+        on_tpu = jax.default_backend() == "tpu"
+        out = fused_attention_qkv(qkv, mask, interpret=not on_tpu)
     else:
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)
         scale = head_dim ** -0.5
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32

@@ -37,6 +37,23 @@ def test_pallas_attention_matches_xla(seq, heads, dim, use_mask):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("seq,heads,dim,use_mask", [
+    (197, 12, 64, False),
+    (77, 8, 64, True),
+])
+def test_transpose_free_qkv_kernel_matches_xla(seq, heads, dim, use_mask):
+    from aiic_tpu.ops.attention import fused_attention_qkv
+
+    rng = np.random.default_rng(7)
+    b = 2
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3, heads, dim)).astype(np.float32))
+    mask = causal_mask(seq) if use_mask else None
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    ref = np.asarray(_xla_attention(q, k, v, mask))
+    out = np.asarray(fused_attention_qkv(qkv, mask, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_pallas_attention_inside_model_block():
     """attn_impl='pallas' must be drop-in for the whole tower."""
     from aiic_tpu.models import TINY_TEST, encode_text, init_clip_params

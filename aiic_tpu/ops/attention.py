@@ -153,6 +153,7 @@ def flash_attention(
 def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, scale: float):
     tile = qkv_ref[0]  # (S, 3, H, D)
     mask = mask_ref[:]
+    outs = []
     for h in range(heads):  # static unroll: distinct small matmuls per head
         q = tile[:, 0, h, :]  # (S, D)
         k = tile[:, 1, h, :]
@@ -167,7 +168,11 @@ def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, scale: float)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, :, h, :] = o.astype(o_ref.dtype)
+        outs.append(o.astype(o_ref.dtype))
+    # One lane-aligned (S, H*D) store — Mosaic rejects interior-unit-dim
+    # reshapes like (S,D)->(1,S,1,D), and (S, H*D) is exactly the layout the
+    # out-projection consumes, so no reshape survives outside the kernel.
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
 def fused_attention_qkv(
@@ -176,7 +181,7 @@ def fused_attention_qkv(
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, S, 3, H, D) fused-QKV activations -> (B, S, H, D) attention output,
+    """(B, S, 3, H, D) fused-QKV activations -> (B, S, H*D) attention output,
     with no layout transposes on either side."""
     bsz, seq, three, heads, dim = qkv.shape
     assert three == 3
@@ -186,14 +191,14 @@ def fused_attention_qkv(
 
     out = pl.pallas_call(
         functools.partial(_attention_qkv_kernel, heads=heads, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bsz, seq, heads, dim), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, heads * dim), qkv.dtype),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, seq, 3, heads, dim), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, seq, heads, dim), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, seq, heads * dim), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bsz * heads * seq * seq * dim,

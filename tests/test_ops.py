@@ -49,7 +49,7 @@ def test_transpose_free_qkv_kernel_matches_xla(seq, heads, dim, use_mask):
     qkv = jnp.asarray(rng.standard_normal((b, seq, 3, heads, dim)).astype(np.float32))
     mask = causal_mask(seq) if use_mask else None
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    ref = np.asarray(_xla_attention(q, k, v, mask))
+    ref = np.asarray(_xla_attention(q, k, v, mask)).reshape(b, seq, heads * dim)
     out = np.asarray(fused_attention_qkv(qkv, mask, interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-5)
 

@@ -1,0 +1,68 @@
+"""LoRA training-step throughput on the real chip (BASELINE config #4).
+
+    python tools/train_bench.py [batch] [iters]
+
+Synthetic batch (compute-path benchmark); prints steps/sec and images/sec to
+stderr and one JSON line to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aiic_tpu.adapters import LoRAConfig, init_text_lora
+    from aiic_tpu.models import VIT_B_16, init_clip_params
+    from aiic_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    config = VIT_B_16
+    tcfg = TrainConfig(epochs=1, batch_size=batch, rank=16, alpha=32, dtype=jnp.bfloat16)
+
+    params = init_clip_params(jax.random.PRNGKey(0), config)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    lora = init_text_lora(jax.random.PRNGKey(1), config, LoRAConfig(16, 32, tcfg.attach))
+    opt = make_optimizer(tcfg, steps_per_epoch=100)
+    opt_state = opt.init(lora)
+    train_step, _ = make_train_step(config, tcfg, opt)
+    jt = jax.jit(train_step, donate_argnums=(1, 2))
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32), jnp.bfloat16)
+    tokens = rng.integers(1, 49400, (batch, 77)).astype(np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, -1] = 49407
+    tokens = jnp.asarray(tokens)
+
+    t0 = time.perf_counter()
+    loss, lora, opt_state = jt(params, lora, opt_state, pixels, tokens)
+    loss = float(loss)
+    print(f"compile+first step: {time.perf_counter()-t0:.1f}s loss={loss:.4f}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, lora, opt_state = jt(params, lora, opt_state, pixels, tokens)
+        loss = float(loss)  # hard sync
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{dt*1e3:.1f} ms/step -> {batch/dt:.1f} img/s (train)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(batch / dt, 1),
+        "unit": "img/s",
+        "batch": batch,
+        "final_loss": round(loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

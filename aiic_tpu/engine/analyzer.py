@@ -63,7 +63,7 @@ class InteriorAnalyzer:
         lora_rank: int = 4,
         lora_alpha: int = 8,
         dtype: jnp.dtype = jnp.float32,
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
         matmul_precision: Optional[str] = None,
         max_batch: int = 256,
         seed: int = 0,

@@ -120,7 +120,7 @@ def make_classify_fn(
     config: CLIPConfig,
     interior_count: int,
     dtype: jnp.dtype = jnp.float32,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     matmul_precision: Optional[str] = None,
     donate_pixels: bool = False,
 ):

@@ -123,6 +123,10 @@ def attention(
     qkv = linear(x, p["wqkv"], p["bqkv"])  # (B, S, 3W)
     qkv = qkv.reshape(bsz, seq, 3, heads, head_dim)
 
+    if attn_impl == "auto":
+        from aiic_tpu.ops.attention import resolve_attn_impl
+
+        attn_impl = resolve_attn_impl(attn_impl)
     if attn_impl == "pallas":
         # Transpose-free fused kernel: consumes the projection's natural
         # (B, S, 3, H, D) layout (see ops/attention.fused_attention_qkv).

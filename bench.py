@@ -59,7 +59,7 @@ def main():
     def program(params, pixels, det_text, cat_text, cat_mask):
         out = classify_batch(
             params, pixels, det_text, cat_text, cat_mask,
-            config=config, interior_count=INTERIOR_COUNT, dtype=dtype, attn_impl="xla",
+            config=config, interior_count=INTERIOR_COUNT, dtype=dtype, attn_impl="auto",
         )
         # reduced scalar output forces full execution when fetched
         sync = out["interior_mass"].sum() + out["topk_vals"].sum()
@@ -85,8 +85,25 @@ def main():
         _, s = classify(params, dev_batches[i % 4], det_text, cat_text, cat_mask)
         float(s)  # hard sync
     dt = time.perf_counter() - t0
-    ips_device = batch * iters / dt
-    log(f"device-resident: {iters}x{batch} in {dt:.3f}s -> {ips_device:.1f} img/s")
+    ips_synced = batch * iters / dt
+    log(f"device-resident synced: {iters}x{batch} in {dt:.3f}s -> {ips_synced:.1f} img/s")
+
+    # steady-state serving pattern: keep 3 dispatches in flight, fetch oldest
+    # (amortizes the relay's fixed per-dispatch round trip)
+    from collections import deque
+
+    pend = deque()
+    for i in range(3):
+        _, s = classify(params, dev_batches[i % 4], det_text, cat_text, cat_mask)
+        pend.append(s)
+    t0 = time.perf_counter()
+    for i in range(2 * iters):
+        _, s = classify(params, dev_batches[i % 4], det_text, cat_text, cat_mask)
+        pend.append(s)
+        float(pend.popleft())
+    dt = time.perf_counter() - t0
+    ips_device = batch * 2 * iters / dt
+    log(f"device-resident pipelined: {2*iters}x{batch} in {dt:.3f}s -> {ips_device:.1f} img/s")
 
     # --- end-to-end with uint8 host batches, pipelined -------------------
     host_batches = [

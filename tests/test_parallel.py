@@ -99,3 +99,37 @@ def test_grads_flow_only_through_lora(setup):
         for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(new_lora))
     )
     assert moved
+
+
+def test_sharded_classify_matches_single_device():
+    """Multi-chip data-parallel inference (make_sharded_classify_fn)."""
+    import functools
+
+    from aiic_tpu.engine.programs import classify_batch
+    from aiic_tpu.parallel import make_sharded_classify_fn
+
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((8, CFG.image_size, CFG.image_size, 3)).astype(np.float32)
+    det = rng.standard_normal((40, CFG.embed_dim)).astype(np.float32)
+    det /= np.linalg.norm(det, axis=-1, keepdims=True)
+    cat = rng.standard_normal((2, 6, CFG.embed_dim)).astype(np.float32)
+    mask = np.ones((2, 6), bool)
+
+    fn = functools.partial(
+        classify_batch, config=CFG, interior_count=11, dtype=jnp.float32,
+        attn_impl="xla", topk=5,
+    )
+    def wrapped(params, pixels, det_text, cat_text, cat_mask):
+        return fn(params, pixels, det_text, cat_text, cat_mask)
+
+    ref = jax.jit(wrapped)(params, jnp.asarray(pixels), jnp.asarray(det),
+                           jnp.asarray(cat), jnp.asarray(mask))
+
+    mesh = create_mesh(8, tp=2)
+    sharded = make_sharded_classify_fn(mesh, wrapped, params)
+    out = sharded(shard_params(params, mesh), jnp.asarray(pixels), jnp.asarray(det),
+                  jnp.asarray(cat), jnp.asarray(mask))
+    for key in ("interior_mass", "top_conf", "topk_vals"):
+        np.testing.assert_allclose(np.asarray(out[key]), np.asarray(ref[key]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["top_idx"]), np.asarray(ref["top_idx"]))

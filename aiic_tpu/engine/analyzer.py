@@ -193,27 +193,49 @@ class InteriorAnalyzer:
         good_paths: List[str] = []
         pixel_list: List[np.ndarray] = []
 
-        from concurrent.futures import ThreadPoolExecutor
+        def record_load_error(path):
+            results[path] = {
+                "is_interior": False,
+                "interior_confidence": 0.0,
+                "detected_category": "load error",
+                "analysis": {},
+                "reason": "Błąd ładowania: could not load image",
+            }
 
-        def fetch(p):
-            img = load_image(p)
-            if img is None:
-                return p, None
-            return p, preprocess_pil(img, self.config.image_size)
+        # Fast path: local JPEG files through the native C++ decode+resize
+        # pipeline (uint8 output; normalization runs fused on device).
+        local_jpegs = all(
+            not p.startswith("http") and p.lower().endswith((".jpg", ".jpeg"))
+            for p in image_paths
+        ) and len(image_paths) > 0
+        if local_jpegs:
+            from aiic_tpu.data.native_loader import preprocess_jpeg_files
 
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            for path, px in pool.map(fetch, image_paths):
-                if px is None:
-                    results[path] = {
-                        "is_interior": False,
-                        "interior_confidence": 0.0,
-                        "detected_category": "load error",
-                        "analysis": {},
-                        "reason": "Błąd ładowania: could not load image",
-                    }
-                else:
+            pixels_u8, ok = preprocess_jpeg_files(
+                list(image_paths), self.config.image_size
+            )
+            for i, path in enumerate(image_paths):
+                if ok[i]:
                     good_paths.append(path)
-                    pixel_list.append(px)
+                    pixel_list.append(pixels_u8[i])
+                else:
+                    record_load_error(path)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def fetch(p):
+                img = load_image(p)
+                if img is None:
+                    return p, None
+                return p, preprocess_pil(img, self.config.image_size)
+
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                for path, px in pool.map(fetch, image_paths):
+                    if px is None:
+                        record_load_error(path)
+                    else:
+                        good_paths.append(path)
+                        pixel_list.append(px)
 
         if not pixel_list:
             return results

@@ -211,3 +211,37 @@ def test_visual_lora_fold_noop_and_active():
     threaded = encode_image(params, px, TINY_TEST, lora=tree2, lora_scaling=lc.scaling)
     folded2 = encode_image(fold_visual_lora(params, tree2, lc.scaling), px, TINY_TEST)
     np.testing.assert_allclose(np.asarray(threaded), np.asarray(folded2), atol=1e-4)
+
+
+def test_analyze_images_batch_native_jpeg_path(tiny_analyzer, tmp_path, ref_root):
+    """Local .jpg inputs route through the native decode path (uint8 on the
+    wire) and must produce the same verdicts as the PIL path."""
+    import shutil
+
+    srcs = [f"{ref_root}/dataset_images/interior{i}.jpg" for i in (1, 2)]
+    paths = []
+    for i, s in enumerate(srcs):
+        d = tmp_path / f"n{i}.jpg"
+        shutil.copy(s, d)
+        paths.append(str(d))
+    paths.append(str(tmp_path / "missing.jpg"))
+
+    res = tiny_analyzer.analyze_images_batch(paths, filter_interiors=False)
+    assert res[paths[-1]]["detected_category"] == "load error"
+    for p in paths[:2]:
+        assert res[p]["is_interior"] is True and res[p]["analysis"]
+
+    # verdict parity with the PIL (png-routed) path
+    png_paths = []
+    from PIL import Image
+    for i, s in enumerate(srcs):
+        d = tmp_path / f"p{i}.png"
+        Image.open(s).save(d)
+        png_paths.append(str(d))
+    res_pil = tiny_analyzer.analyze_images_batch(png_paths, filter_interiors=True)
+    res_nat = tiny_analyzer.analyze_images_batch(paths[:2], filter_interiors=True)
+    for pn, pj in zip(png_paths, paths[:2]):
+        assert res_pil[pn]["is_interior"] == res_nat[pj]["is_interior"]
+        np.testing.assert_allclose(
+            res_pil[pn]["interior_confidence"], res_nat[pj]["interior_confidence"], atol=2e-3
+        )

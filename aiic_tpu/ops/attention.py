@@ -200,7 +200,10 @@ def fused_attention_qkv(
     assert three == 3
     scale = dim ** -0.5
 
-    group = 4
+    # G=2 fits the 16MB scoped-VMEM budget for ViT-B geometry (G=4 OOMs:
+    # 18.5M stack with double-buffered qkv blocks); still halves per-program
+    # grid overhead.
+    group = 2
     while bsz % group != 0:
         group //= 2
     group = max(group, 1)

@@ -59,6 +59,9 @@ class TrainConfig:
     # attention actually routes through them. Default to the trainable set.
     attach: Tuple[str, ...] = ("c_fc", "c_proj", "out_proj")
     dtype: Any = jnp.float32
+    # Training keeps the XLA attention path: gradients flow through the text
+    # tower and the Pallas kernel defines no VJP (the frozen image tower could
+    # use it, but one implementation keeps the step simple).
     attn_impl: str = "xla"
 
 

@@ -41,3 +41,21 @@ def test_native_bad_inputs():
 def test_native_empty_batch():
     pix, ok = preprocess_jpeg_batch([])
     assert pix.shape == (0, 224, 224, 3)
+
+
+def test_prefetching_loader_streams_all_batches(ref_root):
+    import glob
+
+    from aiic_tpu.data.pipeline import PrefetchingLoader
+
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:10]
+    loader = PrefetchingLoader(paths, batch_size=4, size=224, depth=2)
+    assert len(loader) == 3
+    seen = 0
+    for pixels, ok, (start, end) in loader:
+        assert pixels.dtype == np.uint8
+        assert pixels.shape[1:] == (224, 224, 3)
+        assert pixels.shape[0] == end - start
+        assert ok.all()
+        seen += pixels.shape[0]
+    assert seen == 10

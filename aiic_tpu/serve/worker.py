@@ -180,12 +180,11 @@ def process_apartments_pipeline(
     if max_apartments:
         pending = pending[:max_apartments]
 
+    analyzer_kwargs = {}
+    if analyzer is None:
+        analyzer_kwargs = {"use_lora": use_lora, "lora_weights_path": lora_weights}
     worker = ApartmentWorker(
-        db, analyzer,
-        confidence_threshold=confidence_threshold,
-        use_lora=use_lora, lora_weights_path=lora_weights,
-    ) if analyzer is None else ApartmentWorker(
-        db, analyzer, confidence_threshold=confidence_threshold
+        db, analyzer, confidence_threshold=confidence_threshold, **analyzer_kwargs
     )
 
     successful = 0

@@ -97,3 +97,46 @@ def test_eot_pooling_uses_argmax(params):
     tok2[:, 10] = 7  # tokens after EOT must not change the pooled output
     b = encode_text(params, jnp.asarray(tok2), CFG)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_vit_b_32_preset_initializes():
+    from aiic_tpu.models.config import VIT_B_32 as cfg
+
+    p = init_clip_params(jax.random.PRNGKey(0), cfg)
+    assert p["visual"]["blocks"]["mlp"]["w1"].shape == (
+        cfg.vision.layers, cfg.vision.width, cfg.vision.mlp_dim
+    )
+    assert p["visual"]["pos"].shape == (cfg.vision_seq_len, cfg.vision.width)
+    assert p["text"]["proj"].shape == (cfg.text.width, cfg.embed_dim)
+    assert p["visual"]["patch_embed"].shape == (
+        3 * cfg.patch_size * cfg.patch_size, cfg.vision.width
+    )
+
+
+def test_vit_l_14_config_math():
+    # full init is ~430M params — too slow for a 1-core CI; check geometry only
+    from aiic_tpu.models.config import VIT_L_14 as cfg
+
+    assert cfg.vision.width == 1024 and cfg.vision.layers == 24
+    assert cfg.grid_size == 16 and cfg.vision_seq_len == 257
+    assert cfg.embed_dim == 768 and cfg.text.width == 768
+
+
+def test_structured_logging(capsys):
+    import os
+
+    os.environ["AIIC_LOG_JSON"] = "1"
+    try:
+        import importlib, logging
+
+        from aiic_tpu.utils import logging as alog
+
+        logger = alog.get_logger("aiic-test")
+        alog.log_event(logger, "batch done", images=4, ms=12.5)
+        err = capsys.readouterr().err
+        import json as _json
+
+        rec = _json.loads(err.strip().splitlines()[-1])
+        assert rec["msg"] == "batch done" and rec["images"] == 4
+    finally:
+        os.environ.pop("AIIC_LOG_JSON", None)

@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=3000)
     p.add_argument("--dataset-json", type=str, default="interior_dataset.json")
     p.add_argument("--weights", type=str, help="backbone weights")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16",
+                   help="compute dtype (bfloat16 is ~2x faster on TPU)")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -49,6 +51,8 @@ def main(argv=None):
     from aiic_tpu.models.config import VIT_B_16
     from aiic_tpu.models.init import load_clip_weights
 
+    import jax.numpy as jnp
+
     params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
     analyzer = InteriorAnalyzer(
         params=params,
@@ -57,6 +61,7 @@ def main(argv=None):
         lora_weights_path=args.lora_weights,
         lora_rank=4,
         lora_alpha=8,
+        dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype],
     )
 
     if args.serve:

@@ -200,10 +200,10 @@ def fused_attention_qkv(
     assert three == 3
     scale = dim ** -0.5
 
-    # G=2 fits the 16MB scoped-VMEM budget for ViT-B geometry (G=4 OOMs:
-    # 18.5M stack with double-buffered qkv blocks); still halves per-program
-    # grid overhead.
-    group = 2
+    # Scoped-VMEM budget (16MB): measured stack usage for ViT-B geometry is
+    # ~9.3M at bf16/G=2 and ~20.8M at fp32/G=2 — so two images per program in
+    # bf16, one in fp32. (G=4 bf16 OOMs at 18.5M.)
+    group = 2 if qkv.dtype.itemsize <= 2 else 1
     while bsz % group != 0:
         group //= 2
     group = max(group, 1)

@@ -121,20 +121,20 @@ def attention(
     head_dim = width // heads
 
     qkv = linear(x, p["wqkv"], p["bqkv"])  # (B, S, 3W)
-    qkv = qkv.reshape(bsz, seq, 3, heads, head_dim)
 
     if attn_impl == "auto":
         from aiic_tpu.ops.attention import resolve_attn_impl
 
         attn_impl = resolve_attn_impl(attn_impl)
     if attn_impl == "pallas":
-        # Transpose-free fused kernel: consumes the projection's natural
-        # (B, S, 3, H, D) layout (see ops/attention.fused_attention_qkv).
+        # Transpose-free fused kernel consuming the projection's raw (B,S,3W)
+        # output layout (see ops/attention.fused_attention_qkv).
         from aiic_tpu.ops.attention import fused_attention_qkv
 
         on_tpu = jax.default_backend() == "tpu"
-        out = fused_attention_qkv(qkv, mask, interpret=not on_tpu)
+        out = fused_attention_qkv(qkv, mask, heads=heads, interpret=not on_tpu)
     else:
+        qkv = qkv.reshape(bsz, seq, 3, heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)
         scale = head_dim ** -0.5
         scores = jnp.einsum(

@@ -158,19 +158,26 @@ def flash_attention(
 # heads, keeping per-program work large enough to amortize grid overhead.
 
 
-def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, scale: float,
-                          group: int):
-    """Processes ``group`` images × all heads per grid step. Per-program grid
-    overhead is ~10 µs on v5e — far above the ~0.1 µs of matmul work per
-    (image, head) — so batching images per step is the main throughput lever."""
+def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, dim: int,
+                          scale: float, group: int):
+    """Processes ``group`` images × all heads per grid step.
+
+    The qkv block is the projection's raw (S, 3·H·D) activation — taking it
+    unreshaped keeps the custom call's operand layout identical to the
+    producing matmul's output layout, which removes the ~12 GB/s-effective
+    relayout copies XLA otherwise inserts (measured 24 ms/step at B=256).
+    Head slices are static 64-lane column windows; Mosaic handles the
+    sub-128 lane offsets with in-VMEM shifts, far cheaper than HBM copies.
+    """
     mask = mask_ref[:]
+    width = heads * dim
     for g in range(group):
-        tile = qkv_ref[g]  # (S, 3, H, D)
+        tile = qkv_ref[g]  # (S, 3*H*D) columns ordered [Q | K | V]
         outs = []
         for h in range(heads):  # static unroll: distinct small matmuls per head
-            q = tile[:, 0, h, :]  # (S, D)
-            k = tile[:, 1, h, :]
-            v = tile[:, 2, h, :]
+            q = tile[:, h * dim:(h + 1) * dim]  # (S, D)
+            k = tile[:, width + h * dim: width + (h + 1) * dim]
+            v = tile[:, 2 * width + h * dim: 2 * width + (h + 1) * dim]
             s = jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -182,9 +189,8 @@ def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, scale: float,
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
             outs.append(o.astype(o_ref.dtype))
-        # One lane-aligned (S, H*D) store — Mosaic rejects interior-unit-dim
-        # reshapes like (S,D)->(1,S,1,D), and (S, H*D) is exactly the layout
-        # the out-projection consumes, so no reshape survives outside.
+        # One lane-aligned (S, H*D) store — exactly the layout the
+        # out-projection consumes, so no reshape survives outside.
         o_ref[g] = jnp.concatenate(outs, axis=-1)
 
 
@@ -192,12 +198,25 @@ def fused_attention_qkv(
     qkv: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     *,
+    heads: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, S, 3, H, D) fused-QKV activations -> (B, S, H*D) attention output,
-    with no layout transposes on either side."""
-    bsz, seq, three, heads, dim = qkv.shape
-    assert three == 3
+    """Fused-QKV activations -> (B, S, H*D) attention output, with no layout
+    transposes or relayout copies on either side.
+
+    Accepts either (B, S, 3, H, D) or the projection's raw (B, S, 3*H*D)
+    (pass ``heads``); the 5-D form is flattened — the kernel always sees the
+    raw 2-D tile so the custom call's operand layout matches the producing
+    matmul's output layout (no relayout copies).
+    """
+    if qkv.ndim == 5:
+        bsz, seq, three, heads, dim = qkv.shape
+        assert three == 3
+        qkv = qkv.reshape(bsz, seq, 3 * heads * dim)
+    else:
+        assert heads is not None, "heads= required for 3-D qkv"
+        bsz, seq, _ = qkv.shape
+        dim = (qkv.shape[-1] // 3) // heads
     scale = dim ** -0.5
 
     # Scoped-VMEM budget (16MB): measured stack usage for ViT-B geometry is
@@ -211,11 +230,13 @@ def fused_attention_qkv(
     full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_attention_qkv_kernel, heads=heads, scale=scale, group=group),
+        functools.partial(
+            _attention_qkv_kernel, heads=heads, dim=dim, scale=scale, group=group
+        ),
         out_shape=jax.ShapeDtypeStruct((bsz, seq, heads * dim), qkv.dtype),
         grid=(bsz // group,),
         in_specs=[
-            pl.BlockSpec((group, seq, 3, heads, dim), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((group, seq, 3 * heads * dim), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],

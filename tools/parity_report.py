@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--weights", help="real CLIP weights (.pt OpenAI / HF dir)")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--platform", default="cpu", help="jax platform for the run")
+    ap.add_argument("--matmul-precision", default="highest",
+                    help="matmul precision for the JAX side (on TPU, 'highest' "
+                         "is required to meet the 0.999 bar in fp32)")
+    ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas", "auto"])
     args = ap.parse_args()
 
     os.environ.setdefault("AIIC_PLATFORM", args.platform)
@@ -76,11 +80,23 @@ def main():
         rtxt = rtxt / rtxt.norm(dim=-1, keepdim=True)
         ref_logits = (100.0 * rimg @ rtxt.T).numpy()
 
-    enc = jax.jit(lambda p, x: normalize_features(encode_image(p, x, VIT_B_16)))
+    def enc_fn(p, x):
+        with jax.default_matmul_precision(args.matmul_precision):
+            return normalize_features(
+                encode_image(p, x, VIT_B_16, attn_impl=args.attn_impl)
+            )
+
+    def txt_fn(p, t):
+        with jax.default_matmul_precision(args.matmul_precision):
+            return normalize_features(
+                encode_text(p, t, VIT_B_16, attn_impl=args.attn_impl)
+            )
+
+    enc = jax.jit(enc_fn)
     feats = np.concatenate([
         np.asarray(enc(params, pixels[i : i + 16])) for i in range(0, len(pixels), 16)
     ])
-    otxt = np.asarray(normalize_features(encode_text(params, tokens.astype(np.int32), VIT_B_16)))
+    otxt = np.asarray(jax.jit(txt_fn)(params, tokens.astype(np.int32)))
     our_logits = 100.0 * feats @ otxt.T
 
     a, b = our_logits.ravel(), ref_logits.ravel()

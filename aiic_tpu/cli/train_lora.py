@@ -20,6 +20,8 @@ def main(argv=None):
     p.add_argument("--test", action="store_true", help="evaluate a trained adapter")
     p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt / HF)")
     p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from {save-path}.state.npz (full state)")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -53,6 +55,7 @@ def main(argv=None):
             rank=args.rank, alpha=args.alpha,
         ),
         image_root=args.image_root,
+        resume=args.resume,
     )
     print(f"best val loss: {out['best_val_loss']:.4f}")
     return 0

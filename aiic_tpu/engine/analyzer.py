@@ -67,6 +67,7 @@ class InteriorAnalyzer:
         matmul_precision: Optional[str] = None,
         max_batch: int = 256,
         seed: int = 0,
+        text_cache: Optional[str] = None,
     ):
         self.config = config
         self.dtype = dtype
@@ -99,35 +100,50 @@ class InteriorAnalyzer:
         self.category_names = [k for k, v in self.all_categories.items() if v]
 
         # Precompute text features: one jitted text-encoder call over the
-        # concatenation of detector + category prompts.
-        prompts_by_cat = build_category_prompts(self.all_categories)
-        all_prompts = list(DETECTOR_CATEGORIES)
-        spans = {}
-        for name in self.category_names:
-            start = len(all_prompts)
-            all_prompts.extend(prompts_by_cat[name])
-            spans[name] = (start, len(all_prompts))
+        # concatenation of detector + category prompts. A persisted cache
+        # (``text_cache``) skips this — the encode dominates engine cold
+        # start (~60 s on a 1-core host).
+        if text_cache and os.path.exists(text_cache):
+            blob = np.load(text_cache, allow_pickle=False)
+            self.det_text = jnp.asarray(blob["det_text"])
+            self.cat_text = jnp.asarray(blob["cat_text"])
+            self.cat_mask = jnp.asarray(blob["cat_mask"])
+        else:
+            prompts_by_cat = build_category_prompts(self.all_categories)
+            all_prompts = list(DETECTOR_CATEGORIES)
+            spans = {}
+            for name in self.category_names:
+                start = len(all_prompts)
+                all_prompts.extend(prompts_by_cat[name])
+                spans[name] = (start, len(all_prompts))
 
-        encode_texts = jax.jit(
-            lambda p, t: encode_texts_program(
-                p, t, config=config, dtype=dtype, attn_impl=attn_impl
+            encode_texts = jax.jit(
+                lambda p, t: encode_texts_program(
+                    p, t, config=config, dtype=dtype, attn_impl=attn_impl
+                )
             )
-        )
-        feats = np.asarray(
-            encode_texts(params, jnp.asarray(tokenize_for_model(all_prompts, config)))
-        )
-        self.det_text = jnp.asarray(feats[: len(DETECTOR_CATEGORIES)])
+            feats = np.asarray(
+                encode_texts(params, jnp.asarray(tokenize_for_model(all_prompts, config)))
+            )
+            self.det_text = jnp.asarray(feats[: len(DETECTOR_CATEGORIES)])
 
-        n_cat = len(self.category_names)
-        max_n = max((spans[n][1] - spans[n][0] for n in self.category_names), default=1)
-        cat_text = np.zeros((max(n_cat, 1), max_n, config.embed_dim), np.float32)
-        cat_mask = np.zeros((max(n_cat, 1), max_n), bool)
-        for ci, name in enumerate(self.category_names):
-            s, e = spans[name]
-            cat_text[ci, : e - s] = feats[s:e]
-            cat_mask[ci, : e - s] = True
-        self.cat_text = jnp.asarray(cat_text)
-        self.cat_mask = jnp.asarray(cat_mask)
+            n_cat = len(self.category_names)
+            max_n = max((spans[n][1] - spans[n][0] for n in self.category_names), default=1)
+            cat_text = np.zeros((max(n_cat, 1), max_n, config.embed_dim), np.float32)
+            cat_mask = np.zeros((max(n_cat, 1), max_n), bool)
+            for ci, name in enumerate(self.category_names):
+                s, e = spans[name]
+                cat_text[ci, : e - s] = feats[s:e]
+                cat_mask[ci, : e - s] = True
+            self.cat_text = jnp.asarray(cat_text)
+            self.cat_mask = jnp.asarray(cat_mask)
+            if text_cache:
+                np.savez(
+                    text_cache,
+                    det_text=np.asarray(self.det_text),
+                    cat_text=np.asarray(self.cat_text),
+                    cat_mask=np.asarray(self.cat_mask),
+                )
 
         self._classify = make_classify_fn(
             config,

@@ -245,3 +245,21 @@ def test_analyze_images_batch_native_jpeg_path(tiny_analyzer, tmp_path, ref_root
         np.testing.assert_allclose(
             res_pil[pn]["interior_confidence"], res_nat[pj]["interior_confidence"], atol=2e-3
         )
+
+
+def test_text_cache_roundtrip(tmp_path):
+    training = [{"image_path": "x.jpg", "style": "s1", "characteristics": [],
+                 "materials": [], "colors": [], "room_type": "r1"}]
+    cache = str(tmp_path / "cache.npz")
+    a1 = InteriorAnalyzer(config=TINY_TEST, training_data=training,
+                          max_batch=4, text_cache=cache)
+    import os
+    assert os.path.exists(cache)
+    a2 = InteriorAnalyzer(config=TINY_TEST, training_data=training,
+                          max_batch=4, text_cache=cache)
+    np.testing.assert_array_equal(np.asarray(a1.det_text), np.asarray(a2.det_text))
+    np.testing.assert_array_equal(np.asarray(a1.cat_text), np.asarray(a2.cat_text))
+    px = np.random.default_rng(0).standard_normal(
+        (1, TINY_TEST.image_size, TINY_TEST.image_size, 3)).astype(np.float32)
+    r1, r2 = a1.classify_pixels(px), a2.classify_pixels(px)
+    np.testing.assert_allclose(r1["interior_mass"], r2["interior_mass"], rtol=1e-6)

@@ -47,8 +47,11 @@ def test_trained_lora(
     ds = PromptedImageDataset(load_training_data(json_path), config, image_root=image_root)
     rng = np.random.default_rng(seed)
 
+    # params/lora must be jit *arguments*: closing over them would bake
+    # hundreds of MB of weights into the HLO as constants (pathological
+    # compile time, especially through a remote compiler).
     @jax.jit
-    def sim_matrix(pixels, tokens):
+    def sim_matrix(params, lora_tree, pixels, tokens):
         img = normalize_features(encode_image(params, pixels, config))
         txt = normalize_features(
             encode_text(params, tokens, config, lora=lora_tree, lora_scaling=lc.scaling)
@@ -62,7 +65,9 @@ def test_trained_lora(
         if len(sl) < 2:
             continue
         pixels, tokens = ds.batch(sl, rng)
-        sims = np.asarray(sim_matrix(jnp.asarray(pixels), jnp.asarray(tokens)))
+        sims = np.asarray(
+            sim_matrix(params, lora_tree, jnp.asarray(pixels), jnp.asarray(tokens))
+        )
         correct += int((sims.argmax(axis=1) == np.arange(len(sl))).sum())
         total += len(sl)
     return correct / max(total, 1)

@@ -114,3 +114,21 @@ def test_missing_image_falls_back_to_zero(synth_dataset):
     px = ds.load_pixels(0)
     assert px.shape == (TINY_TEST.image_size, TINY_TEST.image_size, 3)
     assert (px == 0).all()
+
+
+def test_trained_lora_evaluation(synth_dataset, tmp_path):
+    """Retrieval-accuracy evaluation (reference train_lora.py:309-360)."""
+    from aiic_tpu.train import test_trained_lora as evaluate
+
+    json_path, root = synth_dataset
+    save = str(tmp_path / "a.pth")
+    train_lora(
+        json_path, save, config=TINY_TEST,
+        cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4, seed=0),
+        image_root=root, log=lambda *_: None,
+    )
+    acc = evaluate(
+        json_path, save, config=TINY_TEST, rank=2, alpha=4,
+        batch_size=8, image_root=root,
+    )
+    assert 0.0 <= acc <= 1.0

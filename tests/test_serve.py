@@ -193,3 +193,37 @@ def test_rest_metrics_endpoint(db_with_images):
         assert "uptime_seconds" in snap
     finally:
         server.shutdown()
+
+
+def test_batcher_concurrent_stress():
+    """Many producers, results must route to the right futures."""
+    def run_batch(items):
+        return [float(x[0]) for x in items]
+
+    b = DynamicBatcher(run_batch, max_batch=16, max_wait_ms=2.0)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i):
+        return b(np.array([float(i)]))
+
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        results = list(pool.map(one, range(200)))
+    assert results == [float(i) for i in range(200)]
+    snap = b.metrics.snapshot()
+    assert snap["images_total"] >= 200
+    b.close()
+
+
+def test_stage_timer():
+    from aiic_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["b"]["count"] == 1
+    assert s["a"]["total_s"] >= 0

@@ -253,13 +253,21 @@ def train_lora(
             )
             train_losses.append(float(loss))
         val_losses = []
+        # Fixed-size validation batches (cycle-pad small val sets): static
+        # shapes for XLA and divisibility for the sharded ('data',) axis.
         vi = val_idx
-        for i in range(0, max(len(vi) - cfg.batch_size + 1, 1), cfg.batch_size):
-            sl = vi[i : i + cfg.batch_size]
-            if len(sl) < 2:
-                continue
-            pixels, tokens = ds.batch(sl, rng)
-            val_losses.append(float(eval_step(params, lora_tree, jnp.asarray(pixels), jnp.asarray(tokens))))
+        if len(vi) > 0:
+            reps = max(1, -(-cfg.batch_size // len(vi)))
+            vi_padded = np.tile(vi, reps)
+            n_full = max(1, len(vi) // cfg.batch_size)
+            for i in range(n_full):
+                sl = vi_padded[i * cfg.batch_size : (i + 1) * cfg.batch_size]
+                if len(sl) < cfg.batch_size:
+                    sl = vi_padded[: cfg.batch_size]
+                pixels, tokens = ds.batch(sl, rng)
+                val_losses.append(
+                    float(eval_step(params, lora_tree, jnp.asarray(pixels), jnp.asarray(tokens)))
+                )
         avg_train = float(np.mean(train_losses)) if train_losses else float("nan")
         avg_val = float(np.mean(val_losses)) if val_losses else avg_train
         history.append({"epoch": epoch + 1, "train_loss": avg_train, "val_loss": avg_val})

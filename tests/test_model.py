@@ -140,3 +140,13 @@ def test_structured_logging(capsys):
         assert rec["msg"] == "batch done" and rec["images"] == 4
     finally:
         os.environ.pop("AIIC_LOG_JSON", None)
+
+
+def test_remat_matches_no_remat(params):
+    from aiic_tpu.models.clip import causal_mask, run_tower
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, CFG.context_length, CFG.text.width))
+    mask = causal_mask(CFG.context_length)
+    a = run_tower(x, params["text"]["blocks"], CFG.text.heads, mask, CFG.gelu_type)
+    b = run_tower(x, params["text"]["blocks"], CFG.text.heads, mask, CFG.gelu_type, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

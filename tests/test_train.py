@@ -132,3 +132,18 @@ def test_trained_lora_evaluation(synth_dataset, tmp_path):
         batch_size=8, image_root=root,
     )
     assert 0.0 <= acc <= 1.0
+
+
+def test_train_lora_with_mesh(synth_dataset, tmp_path):
+    """Full training entry point with a dp x tp mesh (sharded path)."""
+    from aiic_tpu.parallel import create_mesh
+
+    json_path, root = synth_dataset
+    mesh = create_mesh(8, tp=2)
+    out = train_lora(
+        json_path, str(tmp_path / "m.pth"), config=TINY_TEST,
+        cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4, seed=0),
+        image_root=root, mesh=mesh, log=lambda *_: None,
+    )
+    assert np.isfinite(out["best_val_loss"])
+    assert np.abs(np.asarray(out["lora_tree"]["c_fc"]["B"])).max() > 0

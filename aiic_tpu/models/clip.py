@@ -176,6 +176,11 @@ def block(
         l_fc = lora.get("c_fc")
         l_proj = lora.get("c_proj")
 
+    if attn_impl == "auto":
+        from aiic_tpu.ops.attention import resolve_attn_impl
+
+        attn_impl = resolve_attn_impl(attn_impl)
+
     x = x + attention(
         layer_norm(x, p["ln1"]),
         p["attn"],
@@ -185,6 +190,26 @@ def block(
         lora_scaling=lora_scaling,
         attn_impl=attn_impl,
     )
+
+    # Fused LN+MLP+residual kernel on the inference fast path (pallas kernels
+    # selected, bf16, quick-gelu, no threaded MLP adapters — folded LoRA is
+    # already inside w1/w2).
+    if (
+        attn_impl == "pallas"
+        and l_fc is None
+        and l_proj is None
+        and gelu_type == "quick_gelu"
+        and x.dtype == jnp.bfloat16
+    ):
+        from aiic_tpu.ops.mlp import fused_ln_mlp
+
+        on_tpu = jax.default_backend() == "tpu"
+        return fused_ln_mlp(
+            x, p["ln2"]["scale"], p["ln2"]["bias"],
+            p["mlp"]["w1"], p["mlp"]["b1"], p["mlp"]["w2"], p["mlp"]["b2"],
+            interpret=not on_tpu,
+        )
+
     h = layer_norm(x, p["ln2"])
     h = _maybe_lora_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], l_fc, lora_scaling)
     h = _gelu(h, gelu_type)

@@ -99,3 +99,42 @@ def test_normalize_u8_matches_reference_formula():
     out = np.asarray(normalize_u8(jnp.asarray(x)))
     ref = ((x.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_fused_ln_mlp_matches_xla_math():
+    from aiic_tpu.ops.mlp import fused_ln_mlp
+
+    rng = np.random.default_rng(0)
+    b, s, w, m = 2, 16, 32, 128
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    ln_s = jnp.asarray(rng.standard_normal((w,)).astype(np.float32))
+    ln_b = jnp.asarray(rng.standard_normal((w,)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((w, m)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal((m,)).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((m, w)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal((w,)).astype(np.float32))
+
+    out = np.asarray(fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, interpret=True))
+
+    from aiic_tpu.models.clip import layer_norm, quick_gelu
+
+    h = layer_norm(x, {"scale": ln_s, "bias": ln_b})
+    h = quick_gelu(h @ w1 + b1)
+    ref = np.asarray(x + (h @ w2 + b2))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_fused_mlp_active_in_bf16_pallas_block():
+    """bf16 + pallas block output must match the XLA block closely."""
+    from aiic_tpu.models import TINY_TEST, init_clip_params
+    from aiic_tpu.models.clip import block
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    b0 = jax.tree.map(lambda a: a[0].astype(jnp.bfloat16), params["text"]["blocks"])
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, TINY_TEST.context_length, TINY_TEST.text.width), jnp.bfloat16)
+    a = block(x, b0, TINY_TEST.text.heads, None, "quick_gelu", attn_impl="xla")
+    c = block(x, b0, TINY_TEST.text.heads, None, "quick_gelu", attn_impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(c, np.float32), atol=0.05, rtol=0.05
+    )

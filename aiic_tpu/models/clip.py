@@ -126,7 +126,7 @@ def attention(
         from aiic_tpu.ops.attention import resolve_attn_impl
 
         attn_impl = resolve_attn_impl(attn_impl)
-    if attn_impl == "pallas":
+    if attn_impl in ("pallas", "pallas_mlp"):
         # Transpose-free fused kernel consuming the projection's raw (B,S,3W)
         # output layout (see ops/attention.fused_attention_qkv).
         from aiic_tpu.ops.attention import fused_attention_qkv
@@ -191,11 +191,11 @@ def block(
         attn_impl=attn_impl,
     )
 
-    # Fused LN+MLP+residual kernel on the inference fast path (pallas kernels
-    # selected, bf16, quick-gelu, no threaded MLP adapters — folded LoRA is
-    # already inside w1/w2).
+    # Fused LN+MLP+residual kernel (ops/mlp.py). Measured neutral vs XLA's
+    # own matmul+elementwise fusion on v5e (70.5 vs 69.2 ms/step at B=256),
+    # so it is opt-in via attn_impl="pallas_mlp" rather than auto-selected.
     if (
-        attn_impl == "pallas"
+        attn_impl == "pallas_mlp"
         and l_fc is None
         and l_proj is None
         and gelu_type == "quick_gelu"

@@ -134,7 +134,7 @@ def test_fused_mlp_active_in_bf16_pallas_block():
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (2, TINY_TEST.context_length, TINY_TEST.text.width), jnp.bfloat16)
     a = block(x, b0, TINY_TEST.text.heads, None, "quick_gelu", attn_impl="xla")
-    c = block(x, b0, TINY_TEST.text.heads, None, "quick_gelu", attn_impl="pallas")
+    c = block(x, b0, TINY_TEST.text.heads, None, "quick_gelu", attn_impl="pallas_mlp")
     np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(c, np.float32), atol=0.05, rtol=0.05
     )

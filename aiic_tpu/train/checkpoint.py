@@ -59,6 +59,49 @@ def save_train_state(
     np.savez(path, **flat)
 
 
+def save_train_state_orbax(
+    path: str,
+    lora_tree: Dict[str, Any],
+    opt_state: Any,
+    *,
+    epoch: int,
+    best_val_loss: float,
+    seed: int,
+) -> None:
+    """Orbax backend (SURVEY.md §5d): same contents as the npz state, stored
+    as an orbax checkpoint directory (async-safe, multi-host-ready)."""
+    import orbax.checkpoint as ocp
+
+    state = {
+        "lora": lora_tree,
+        "opt": list(jax.tree.leaves(opt_state)),
+        "meta": {"epoch": epoch, "best_val_loss": best_val_loss, "seed": seed},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state_orbax(
+    path: str,
+    lora_template: Dict[str, Any],
+    opt_state_template: Any,
+) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+
+    template = {
+        "lora": lora_template,
+        "opt": list(jax.tree.leaves(opt_state_template)),
+        "meta": {"epoch": 0, "best_val_loss": 0.0, "seed": 0},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path), template)
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(opt_state_template), state["opt"]
+    )
+    return state["lora"], opt_state, dict(state["meta"])
+
+
 def load_train_state(
     path: str,
     lora_template: Dict[str, Any],

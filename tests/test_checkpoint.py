@@ -68,3 +68,24 @@ def test_resume_continues_from_saved_epoch(tmp_path):
     # only epoch 2 ran in the resumed call
     assert len(out["history"]) == 1
     assert out["history"][0]["epoch"] == 2
+
+
+def test_orbax_state_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from aiic_tpu.train.checkpoint import load_train_state_orbax, save_train_state_orbax
+
+    cfg = TrainConfig(epochs=3, rank=2, alpha=4)
+    lora = init_text_lora(jax.random.PRNGKey(0), TINY_TEST, LoRAConfig(2, 4, cfg.attach))
+    opt = make_optimizer(cfg, steps_per_epoch=5)
+    opt_state = opt.init(lora)
+
+    path = str(tmp_path / "orbax_ck")
+    save_train_state_orbax(path, lora, opt_state, epoch=2, best_val_loss=1.5, seed=3)
+
+    lora_t = init_text_lora(jax.random.PRNGKey(9), TINY_TEST, LoRAConfig(2, 4, cfg.attach))
+    lora2, opt_state2, meta = load_train_state_orbax(path, lora_t, opt.init(lora_t))
+    assert meta["epoch"] == 2 and meta["best_val_loss"] == 1.5
+    for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(lora2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(opt_state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -175,6 +175,12 @@ class InteriorAnalyzer:
             )
             pending.append((res, valid))
             i += len(chunk)
+        # Start all device->host copies before blocking on any: each fetch
+        # pays a full relay round trip otherwise (~30 ms x 7 outputs).
+        for res, _ in pending:
+            for v in res.values():
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
         outs = [{k: np.asarray(v)[:valid] for k, v in res.items()} for res, valid in pending]
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]} if outs else {}
 

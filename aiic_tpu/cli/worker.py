@@ -68,7 +68,6 @@ def main(argv=None):
         import numpy as np
 
         from aiic_tpu.data.images import decode_image_bytes
-        from aiic_tpu.data.preprocess import preprocess_numpy
         from aiic_tpu.serve.batcher import DynamicBatcher
         from aiic_tpu.serve.rest import make_server
 
@@ -88,11 +87,33 @@ def main(argv=None):
 
         batcher = DynamicBatcher(run_batch, max_batch=64, max_wait_ms=10.0)
 
+        from aiic_tpu.data.native_loader import native_available, preprocess_jpeg_batch
+        from aiic_tpu.data.preprocess import (
+            center_crop_bounds,
+            resize_bicubic_numpy,
+            resize_target,
+        )
+
+        use_native = native_available()
+        size = analyzer.config.image_size
+
         def analyze_bytes(data: bytes):
-            arr = decode_image_bytes(data)
+            # All batcher items are uint8 (normalize fused on device); a mixed
+            # uint8/float batch would silently corrupt under np.stack.
+            if use_native:
+                pixels, ok = preprocess_jpeg_batch([data], size)
+                if ok[0]:
+                    return batcher(pixels[0])
+            arr = decode_image_bytes(data)  # non-JPEG fallback (PNG, ...)
             if arr is None:
                 return {"error": "could not decode image"}
-            return batcher(preprocess_numpy(arr, analyzer.config.image_size))
+            h, w = arr.shape[:2]
+            nw, nh = resize_target(w, h, size)
+            res = resize_bicubic_numpy(arr, nw, nh)
+            top, left = center_crop_bounds(nw, nh, size)
+            crop = res[max(top, 0): max(top, 0) + size,
+                       max(left, 0): max(left, 0) + size].astype(np.uint8)
+            return batcher(crop)
 
         server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port)
         print(f"serving on :{args.port} (endpoints: /health /apartments /process-pending "

@@ -181,15 +181,31 @@ def block(
 
         attn_impl = resolve_attn_impl(attn_impl)
 
-    x = x + attention(
-        layer_norm(x, p["ln1"]),
-        p["attn"],
-        heads,
-        mask,
-        lora_out=l_out,
-        lora_scaling=lora_scaling,
-        attn_impl=attn_impl,
-    )
+    # Whole attention half-block in one kernel (LN1 + QKV proj + attention +
+    # out proj + residual, weights VMEM-resident) on the bf16 inference path.
+    if (
+        attn_impl in ("pallas", "pallas_mlp")
+        and l_out is None
+        and x.dtype == jnp.bfloat16
+    ):
+        from aiic_tpu.ops.attention import fused_ln_qkv_attention
+
+        on_tpu = jax.default_backend() == "tpu"
+        x = fused_ln_qkv_attention(
+            x, p["ln1"]["scale"], p["ln1"]["bias"],
+            p["attn"]["wqkv"], p["attn"]["bqkv"], p["attn"]["wo"], p["attn"]["bo"],
+            mask, heads=heads, interpret=not on_tpu,
+        )
+    else:
+        x = x + attention(
+            layer_norm(x, p["ln1"]),
+            p["attn"],
+            heads,
+            mask,
+            lora_out=l_out,
+            lora_scaling=lora_scaling,
+            attn_impl=attn_impl,
+        )
 
     # Fused LN+MLP+residual kernel (ops/mlp.py). Measured neutral vs XLA's
     # own matmul+elementwise fusion on v5e (70.5 vs 69.2 ms/step at B=256),

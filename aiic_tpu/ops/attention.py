@@ -37,6 +37,106 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _ln_qkv_attention_kernel(
+    x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, mask_ref,
+    o_ref, *, heads: int, dim: int, scale: float, eps: float,
+):
+    """Whole attention half-block for one image: LN1 -> QKV projection ->
+    per-head attention -> output projection -> residual. All weights stay
+    VMEM-resident; the QKV activation, scores, and head outputs never touch
+    HBM."""
+    x = x_ref[0]  # (S, W)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
+    h = h.astype(x.dtype)
+
+    qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)  # (S, 3W)
+
+    width = heads * dim
+    mask = mask_ref[:]
+    outs = []
+    for hd in range(heads):
+        q = qkv[:, hd * dim:(hd + 1) * dim]
+        k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+        v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(x.dtype)
+        )
+    attn = jnp.concatenate(outs, axis=-1)  # (S, W)
+
+    out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    o_ref[0] = (xf + out).astype(o_ref.dtype)
+
+
+def fused_ln_qkv_attention(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    heads: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, S, W) -> (B, S, W): x + OutProj(Attention(QKV(LN(x))))."""
+    bsz, seq, width = x.shape
+    dim = width // heads
+    scale = dim ** -0.5
+
+    # weights in compute dtype so they fit VMEM (wqkv bf16 = 3.5 MB for ViT-B)
+    wqkv = wqkv.astype(x.dtype)
+    wo = wo.astype(x.dtype)
+    ln_scale = ln_scale.reshape(1, width)
+    ln_bias = ln_bias.reshape(1, width)
+    bqkv = bqkv.reshape(1, 3 * width)
+    bo = bo.reshape(1, width)
+    full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_attention_kernel, heads=heads, dim=dim, scale=scale, eps=eps
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, 3 * width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * seq * width * (4 * width) + 4 * bsz * heads * seq * seq * dim,
+            bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+            + 4 * width * width * x.dtype.itemsize,
+            transcendentals=bsz * heads * seq * seq,
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, full_mask)
+    return out
+
+
 def resolve_attn_impl(impl: str) -> str:
     """'auto' -> 'pallas' on TPU (measured 40%+ faster end-to-end than the
     XLA einsum path on v5e), 'xla' elsewhere."""

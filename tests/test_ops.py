@@ -138,3 +138,33 @@ def test_fused_mlp_active_in_bf16_pallas_block():
     np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(c, np.float32), atol=0.05, rtol=0.05
     )
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_ln_qkv_attention_matches_xla(use_mask):
+    """Whole attention half-block kernel vs the composed XLA ops."""
+    from aiic_tpu.models.clip import attention as xla_attention
+    from aiic_tpu.models.clip import layer_norm
+    from aiic_tpu.ops.attention import fused_ln_qkv_attention
+
+    rng = np.random.default_rng(11)
+    b, s, w, h = 2, 77, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    p = {
+        "ln1": {"scale": jnp.asarray(rng.standard_normal(w).astype(np.float32)),
+                "bias": jnp.asarray(rng.standard_normal(w).astype(np.float32))},
+        "attn": {
+            "wqkv": jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32)),
+            "bqkv": jnp.asarray(rng.standard_normal(3 * w).astype(np.float32)),
+            "wo": jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32)),
+            "bo": jnp.asarray(rng.standard_normal(w).astype(np.float32)),
+        },
+    }
+    mask = causal_mask(s) if use_mask else None
+    ref = x + xla_attention(layer_norm(x, p["ln1"]), p["attn"], h, mask, attn_impl="xla")
+    out = fused_ln_qkv_attention(
+        x, p["ln1"]["scale"], p["ln1"]["bias"],
+        p["attn"]["wqkv"], p["attn"]["bqkv"], p["attn"]["wo"], p["attn"]["bo"],
+        mask, heads=h, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -232,11 +232,34 @@ def from_openai_clip_state_dict(sd: Mapping[str, Any], config: CLIPConfig) -> Pa
 
 def load_clip_weights(path: str, config: CLIPConfig) -> Params:
     """Load CLIP weights from a ``.npz`` (this framework's native dump), a
-    torch ``.pt``/``.pth`` state dict (OpenAI layout), or a HF checkpoint dir.
+    torch ``.pt``/``.pth`` state dict (OpenAI ``clip.load`` layout or HF
+    CLIPModel layout — autodetected), or a HF checkpoint directory
+    (safetensors or pytorch_model.bin).
     """
+    import os
+
     if path.endswith(".npz"):
         flat = dict(np.load(path))
         return unflatten_params(flat)
+
+    if os.path.isdir(path):
+        st = os.path.join(path, "model.safetensors")
+        if os.path.exists(st):
+            from safetensors import safe_open  # ships with transformers
+
+            obj = {}
+            with safe_open(st, framework="np") as f:
+                for k in f.keys():
+                    obj[k] = f.get_tensor(k)
+        else:
+            import torch
+
+            obj = torch.load(
+                os.path.join(path, "pytorch_model.bin"),
+                map_location="cpu", weights_only=True,
+            )
+        return from_hf_clip_state_dict(obj, config)
+
     import torch  # local import: torch is host-side tooling only
 
     obj = torch.load(path, map_location="cpu", weights_only=False)

@@ -213,3 +213,37 @@ def test_openai_layout_converter_consistent_with_hf(oracle):
     assert len(flat_hf) == len(flat_oa)
     for a, b in zip(flat_hf, flat_oa):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_clip_weights_from_hf_directory(oracle, tmp_path):
+    """HF checkpoint-directory loading (safetensors) must round-trip."""
+    pytest.importorskip("safetensors")
+    model, params = oracle
+    d = tmp_path / "hf_ckpt"
+    model.save_pretrained(str(d), safe_serialization=True)
+
+    from aiic_tpu.models.init import load_clip_weights
+
+    loaded = load_clip_weights(str(d), VIT_B_16)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_clip_weights_from_openai_pt(oracle, tmp_path):
+    """OpenAI clip-layout .pt file autodetection via load_clip_weights."""
+    import torch
+
+    model, params = oracle
+    # minimal openai-layout dict marker: loader keys off visual.conv1.weight;
+    # reuse the converter consistency fixture path instead of rebuilding here.
+    sd = model.state_dict()
+    openai_sd = {"visual.conv1.weight": sd["vision_model.embeddings.patch_embedding.weight"]}
+    # full layout is covered by test_openai_layout_converter_consistent_with_hf;
+    # here just assert the dispatch raises KeyError on the partial dict (it
+    # chose the OpenAI branch) rather than silently using the HF branch.
+    from aiic_tpu.models.init import load_clip_weights
+
+    p = tmp_path / "partial.pt"
+    torch.save(openai_sd, str(p))
+    with pytest.raises(KeyError):
+        load_clip_weights(str(p), VIT_B_16)

@@ -227,3 +227,52 @@ def test_stage_timer():
     s = t.summary()
     assert s["a"]["count"] == 2 and s["b"]["count"] == 1
     assert s["a"]["total_s"] >= 0
+
+
+def test_rest_analyze_endpoint_with_analyzer(analyzer, ref_root):
+    """POST /analyze wired to a real engine (the worker CLI's layout)."""
+    import io
+
+    from aiic_tpu.data.images import decode_image_bytes
+    from aiic_tpu.data.preprocess import (
+        center_crop_bounds,
+        resize_bicubic_numpy,
+        resize_target,
+    )
+
+    batcher = DynamicBatcher(
+        lambda pixels: [
+            {"is_interior": bool(r > 0.5), "interior_confidence": float(r)}
+            for r in analyzer.classify_pixels(pixels)["interior_mass"]
+        ],
+        max_batch=8, max_wait_ms=5.0,
+    )
+    size = analyzer.config.image_size
+
+    def analyze_bytes(data):
+        arr = decode_image_bytes(data)
+        if arr is None:
+            return {"error": "could not decode image"}
+        h, w = arr.shape[:2]
+        nw, nh = resize_target(w, h, size)
+        res = resize_bicubic_numpy(arr, nw, nh)
+        top, left = center_crop_bounds(nw, nh, size)
+        crop = res[max(top, 0): max(top, 0) + size,
+                   max(left, 0): max(left, 0) + size].astype(np.uint8)
+        return batcher(crop)
+
+    server = make_server(db=InMemoryDB(), analyze_fn=analyze_bytes, port=0)
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        with open(f"{ref_root}/interior_sample.jpg", "rb") as f:
+            payload = f.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze", data=payload, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read().decode())
+        assert "is_interior" in out and 0.0 <= out["interior_confidence"] <= 1.0
+    finally:
+        server.shutdown()
+        batcher.close()

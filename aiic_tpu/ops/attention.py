@@ -45,40 +45,42 @@ def _ln_qkv_attention_kernel(
     per-head attention -> output projection -> residual. All weights stay
     VMEM-resident; the QKV activation, scores, and head outputs never touch
     HBM."""
-    x = x_ref[0]  # (S, W)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    h = (xf - mean) * jax.lax.rsqrt(var + eps)
-    h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
-    h = h.astype(x.dtype)
-
-    qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)  # (S, 3W)
-
     width = heads * dim
     mask = mask_ref[:]
-    outs = []
-    for hd in range(heads):
-        q = qkv[:, hd * dim:(hd + 1) * dim]
-        k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
-        v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = s + mask
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(
-            jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(x.dtype)
-        )
-    attn = jnp.concatenate(outs, axis=-1)  # (S, W)
+    group = x_ref.shape[0]
+    for g in range(group):
+        x = x_ref[g]  # (S, W)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        h = (xf - mean) * jax.lax.rsqrt(var + eps)
+        h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
+        h = h.astype(x.dtype)
 
-    out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
-    out = out + bo_ref[:].astype(jnp.float32)
-    o_ref[0] = (xf + out).astype(o_ref.dtype)
+        qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)  # (S, 3W)
+
+        outs = []
+        for hd in range(heads):
+            q = qkv[:, hd * dim:(hd + 1) * dim]
+            k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+            v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(
+                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(x.dtype)
+            )
+        attn = jnp.concatenate(outs, axis=-1)  # (S, W)
+
+        out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+        out = out + bo_ref[:].astype(jnp.float32)
+        o_ref[g] = (xf + out).astype(o_ref.dtype)
 
 
 def fused_ln_qkv_attention(
@@ -109,14 +111,20 @@ def fused_ln_qkv_attention(
     bo = bo.reshape(1, width)
     full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
 
+    # group images per grid step when VMEM allows (bf16 only reaches here)
+    group = 2 if x.dtype.itemsize <= 2 else 1
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+
     out = pl.pallas_call(
         functools.partial(
             _ln_qkv_attention_kernel, heads=heads, dim=dim, scale=scale, eps=eps
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
-        grid=(bsz,),
+        grid=(bsz // group,),
         in_specs=[
-            pl.BlockSpec((1, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((width, 3 * width), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -125,7 +133,7 @@ def fused_ln_qkv_attention(
             pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * seq * width * (4 * width) + 4 * bsz * heads * seq * seq * dim,
             bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize

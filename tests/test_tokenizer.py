@@ -83,3 +83,30 @@ def test_bpe_merges_applied_when_vocab_file_present(tmp_path):
     assert tok.bpe("ab") == "a b</w>"
     ids = tok.encode("aab")
     assert len(ids) == 1
+
+
+def test_word_split_matches_clip_regex_semantics():
+    """The regex word splitter must reproduce CLIP's splitting on tricky
+    inputs: contractions split off, digits split individually, punctuation
+    runs grouped, unicode letters kept together."""
+    from aiic_tpu.data.tokenizer import _WORD_PATTERN
+    import regex as re
+
+    def split(text):
+        return re.findall(_WORD_PATTERN, text.lower())
+
+    assert split("it's") == ["it", "'s"]
+    assert split("don't we'll") == ["don", "'t", "we", "'ll"]
+    assert split("room123") == ["room", "1", "2", "3"]
+    assert split("hello, world!!") == ["hello", ",", "world", "!!"]
+    assert split("wnętrze") == ["wnętrze"]
+    assert split("a-b") == ["a", "-", "b"]
+    assert split("3.5m") == ["3", ".", "5", "m"]
+
+
+def test_tokenizer_handles_empty_and_whitespace():
+    out = tokenize(["", "   "])
+    # SOT + EOT only
+    for row in out:
+        nz = row[row != 0]
+        assert list(nz) == [VOCAB_SIZE - 2, VOCAB_SIZE - 1]

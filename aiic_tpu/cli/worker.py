@@ -115,6 +115,8 @@ def main(argv=None):
                        max(left, 0): max(left, 0) + size].astype(np.uint8)
             return batcher(crop)
 
+        print("warming classify buckets (1..64)...")
+        analyzer.warmup([1, 2, 4, 8, 16, 32, 64])
         server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port)
         print(f"serving on :{args.port} (endpoints: /health /apartments /process-pending "
               f"/process/:id /results /export, POST /analyze)")

@@ -157,6 +157,21 @@ class InteriorAnalyzer:
     # Device passes
     # ------------------------------------------------------------------
 
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Precompile the classify program for the given batch buckets
+        (default: every power-of-two up to max_batch). Serving should call
+        this before accepting traffic — a cold bucket costs seconds of XLA
+        compile on first hit."""
+        if batch_sizes is None:
+            batch_sizes = []
+            b = 1
+            while b <= self.max_batch:
+                batch_sizes.append(b)
+                b <<= 1
+        s = self.config.image_size
+        for b in batch_sizes:
+            self.classify_pixels(np.zeros((b, s, s, 3), np.uint8))
+
     def classify_pixels(self, pixels: np.ndarray) -> Dict[str, np.ndarray]:
         """Run the fused program over (N, S, S, 3) preprocessed pixels,
         chunked into padded power-of-two buckets to bound recompilation.

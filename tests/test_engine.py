@@ -263,3 +263,11 @@ def test_text_cache_roundtrip(tmp_path):
         (1, TINY_TEST.image_size, TINY_TEST.image_size, 3)).astype(np.float32)
     r1, r2 = a1.classify_pixels(px), a2.classify_pixels(px)
     np.testing.assert_allclose(r1["interior_mass"], r2["interior_mass"], rtol=1e-6)
+
+
+def test_warmup_precompiles_buckets(tiny_analyzer):
+    tiny_analyzer.warmup([1, 2])
+    # after warmup, classify at those sizes runs (values are well-defined)
+    px = np.zeros((2, TINY_TEST.image_size, TINY_TEST.image_size, 3), np.uint8)
+    res = tiny_analyzer.classify_pixels(px)
+    assert np.isfinite(res["interior_mass"]).all()

@@ -35,8 +35,11 @@ def main():
     batcher = DynamicBatcher(run_batch, max_batch=64, max_wait_ms=10.0)
 
     rng = np.random.default_rng(0)
-    img = rng.standard_normal((224, 224, 3)).astype(np.float32)
+    # uint8 items: same wire format the REST path uses (normalize on device)
+    img = rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
     # warm: compile every bucket the load can hit
+    print("warming buckets...", file=sys.stderr)
+    analyzer.warmup()
     batcher(img)
 
     lats = []

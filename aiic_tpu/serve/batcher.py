@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Any, Callable, List, Sequence
 
@@ -65,8 +66,6 @@ class DynamicBatcher:
         except queue.Empty:
             return []
         batch = [first]
-        import time
-
         deadline = time.perf_counter() + self.max_wait
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
@@ -79,8 +78,6 @@ class DynamicBatcher:
         return batch
 
     def _loop(self):
-        import time
-
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:

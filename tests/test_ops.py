@@ -168,3 +168,43 @@ def test_fused_ln_qkv_attention_matches_xla(use_mask):
         mask, heads=h, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_int8_mlp_accuracy_vs_fp32():
+    """Dynamic-int8 MLP must stay within ~1% relative error of fp32."""
+    from aiic_tpu.models.clip import layer_norm, quick_gelu
+    from aiic_tpu.ops.quant import int8_ln_mlp, quantize_weight
+
+    rng = np.random.default_rng(0)
+    b, s, w, m = 2, 16, 64, 256
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    ln_s = jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln_b = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((w, m)) * 0.08).astype(np.float32))
+    b1 = jnp.asarray((0.1 * rng.standard_normal(m)).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((m, w)) * 0.08).astype(np.float32))
+    b2 = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+
+    w1_q, s1 = quantize_weight(w1)
+    w2_q, s2 = quantize_weight(w2)
+    out = np.asarray(int8_ln_mlp(x, ln_s, ln_b, w1_q, s1, b1, w2_q, s2, b2,
+                                 interpret=True))
+
+    h = layer_norm(x, {"scale": ln_s, "bias": ln_b})
+    h = quick_gelu(h @ w1 + b1)
+    ref = np.asarray(x + (h @ w2 + b2))
+    rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel.mean() < 0.01, rel.mean()
+    assert rel.max() < 0.2, rel.max()
+
+
+def test_quantize_weight_roundtrip_properties():
+    from aiic_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (1, 64)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    rel = np.abs(deq - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01  # half an int8 step

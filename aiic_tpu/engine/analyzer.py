@@ -68,6 +68,7 @@ class InteriorAnalyzer:
         max_batch: int = 256,
         seed: int = 0,
         text_cache: Optional[str] = None,
+        quantize: bool = False,
     ):
         self.config = config
         self.dtype = dtype
@@ -90,6 +91,15 @@ class InteriorAnalyzer:
                 tree = init_text_lora(jax.random.PRNGKey(seed), config, lc)
             params = fold_text_lora(params, tree, lc.scaling)
             self.use_lora = True
+
+        # int8 MLP weights (after LoRA folding so adapters are quantized too);
+        # active only on the bf16 compute path (models.clip.block).
+        self.quantized = False
+        if quantize:
+            from aiic_tpu.ops.quant import quantize_model_mlp
+
+            params = quantize_model_mlp(params)
+            self.quantized = True
         self.params = params
 
         # Attribute vocabulary from the dataset (main.py:259-262).

@@ -207,6 +207,26 @@ def block(
             attn_impl=attn_impl,
         )
 
+    # int8 MLP kernel (ops/quant.py): selected when the params carry
+    # quantized MLP weights (quantize_model_mlp) on the bf16 inference path.
+    # Measured 21 vs 30 ms per 12 layers against the bf16 kernel on v5e.
+    if (
+        "mlp_q" in p
+        and l_fc is None
+        and l_proj is None
+        and gelu_type == "quick_gelu"
+        and x.dtype == jnp.bfloat16
+    ):
+        from aiic_tpu.ops.quant import int8_ln_mlp
+
+        on_tpu = jax.default_backend() == "tpu"
+        q = p["mlp_q"]
+        return int8_ln_mlp(
+            x, p["ln2"]["scale"], p["ln2"]["bias"],
+            q["w1_q"], q["s1"], p["mlp"]["b1"], q["w2_q"], q["s2"], p["mlp"]["b2"],
+            interpret=not on_tpu,
+        )
+
     # Fused LN+MLP+residual kernel (ops/mlp.py). Measured neutral vs XLA's
     # own matmul+elementwise fusion on v5e (70.5 vs 69.2 ms/step at B=256),
     # so it is opt-in via attn_impl="pallas_mlp" rather than auto-selected.

@@ -141,3 +141,18 @@ def quantize_mlp_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:
     w1_q, s1 = per_layer(blocks["mlp"]["w1"])
     w2_q, s2 = per_layer(blocks["mlp"]["w2"])
     return {"w1_q": w1_q, "s1": s1, "w2_q": w2_q, "s2": s2}
+
+
+def quantize_model_mlp(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Return a params tree with int8-quantized MLP weights attached as
+    ``blocks['mlp_q']`` for both towers. ``models.clip.block`` picks the int8
+    kernel up automatically on the bf16 inference path (quantize AFTER any
+    LoRA folding so adapters are included in the quantized weights)."""
+    out = dict(params)
+    for tower in ("visual", "text"):
+        t = dict(out[tower])
+        blocks = dict(t["blocks"])
+        blocks["mlp_q"] = quantize_mlp_blocks(blocks)
+        t["blocks"] = blocks
+        out[tower] = t
+    return out

@@ -208,3 +208,29 @@ def test_quantize_weight_roundtrip_properties():
     deq = np.asarray(q, np.float32) * np.asarray(s)
     rel = np.abs(deq - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
     assert rel < 0.01  # half an int8 step
+
+
+def test_quantized_model_tower_close_to_fp(tiny_bf16_tol=0.08):
+    """encode_image with quantized MLP weights stays close to the bf16 path
+    and is picked up automatically from the params tree."""
+    from aiic_tpu.models import TINY_TEST, encode_image, init_clip_params
+    from aiic_tpu.ops.quant import quantize_model_mlp
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    qparams = quantize_model_mlp(params)
+    px = jax.random.uniform(jax.random.PRNGKey(1),
+                            (2, TINY_TEST.image_size, TINY_TEST.image_size, 3),
+                            jnp.bfloat16)
+    base = np.asarray(encode_image(params, px, TINY_TEST, dtype=jnp.bfloat16,
+                                   attn_impl="pallas"), np.float32)
+    quant = np.asarray(encode_image(qparams, px, TINY_TEST, dtype=jnp.bfloat16,
+                                    attn_impl="pallas"), np.float32)
+    # cosine similarity per row must stay very high
+    cos = (base * quant).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(quant, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos
+    # and fp32 path ignores quantized weights entirely
+    fp = np.asarray(encode_image(qparams, px.astype(jnp.float32), TINY_TEST))
+    fp_ref = np.asarray(encode_image(params, px.astype(jnp.float32), TINY_TEST))
+    np.testing.assert_allclose(fp, fp_ref, atol=1e-5)

@@ -62,11 +62,13 @@ def fused_ln_mlp(
     w1 = w1.astype(x.dtype)
     w2 = w2.astype(x.dtype)
 
-    # pick a row block that tiles n exactly
+    # Largest power-of-two divisor of n that is >=8 (TPU sublane rule);
+    # if none exists (e.g. n=197 at batch 1), one block covering all rows.
     r = rows
-    while n % r != 0:
+    while r >= 8 and n % r != 0:
         r //= 2
-    r = max(r, 1)
+    if r < 8:
+        r = n
 
     # bias/scale vectors as (1, dim) for 2-D tiling
     ln_scale = ln_scale.reshape(1, width)

@@ -93,10 +93,13 @@ def int8_ln_mlp(
     n = bsz * seq
     xf = x.reshape(n, width)
 
+    # Largest power-of-two divisor of n that is >=8 (TPU sublane rule);
+    # if none exists (e.g. n=197 at batch 1), one block covering all rows.
     r = rows
-    while n % r != 0:
+    while r >= 8 and n % r != 0:
         r //= 2
-    r = max(r, 1)
+    if r < 8:
+        r = n
 
     ln_scale = ln_scale.reshape(1, width)
     ln_bias = ln_bias.reshape(1, width)

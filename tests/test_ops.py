@@ -234,3 +234,21 @@ def test_quantized_model_tower_close_to_fp(tiny_bf16_tol=0.08):
     fp = np.asarray(encode_image(qparams, px.astype(jnp.float32), TINY_TEST))
     fp_ref = np.asarray(encode_image(params, px.astype(jnp.float32), TINY_TEST))
     np.testing.assert_allclose(fp, fp_ref, atol=1e-5)
+
+
+def test_int8_mlp_batch1_odd_rows():
+    """B=1, S=197 -> 197 rows (prime): must fall back to a single full block
+    (TPU requires sublane-divisible or full-dim block shapes)."""
+    from aiic_tpu.ops.quant import int8_ln_mlp, quantize_weight
+
+    rng = np.random.default_rng(2)
+    w, m = 32, 128
+    x = jnp.asarray(rng.standard_normal((1, 197, w)).astype(np.float32))
+    ln_s = jnp.ones((w,), jnp.float32)
+    ln_b = jnp.zeros((w,), jnp.float32)
+    w1_q, s1 = quantize_weight(jnp.asarray((rng.standard_normal((w, m)) * 0.1).astype(np.float32)))
+    w2_q, s2 = quantize_weight(jnp.asarray((rng.standard_normal((m, w)) * 0.1).astype(np.float32)))
+    out = int8_ln_mlp(x, ln_s, ln_b, w1_q, s1, jnp.zeros((m,)), w2_q, s2,
+                      jnp.zeros((w,)), interpret=True)
+    assert out.shape == (1, 197, w)
+    assert np.isfinite(np.asarray(out)).all()

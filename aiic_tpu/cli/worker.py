@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--weights", type=str, help="backbone weights")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16",
                    help="compute dtype (bfloat16 is ~2x faster on TPU)")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 MLP weights (+22%% throughput, feature cosine "
+                        "0.9999 vs bf16; requires --dtype bfloat16)")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -62,6 +65,7 @@ def main(argv=None):
         lora_rank=4,
         lora_alpha=8,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype],
+        quantize=args.quantize,
     )
 
     if args.serve:

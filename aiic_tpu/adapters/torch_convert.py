@@ -45,6 +45,33 @@ def parse_lora_key(key: str) -> Optional[Tuple[str, int, str, str]]:
     return tower, int(m.group("layer")), _SITE_TO_POINT[m.group("site")], m.group("ab")[-1]
 
 
+def load_pth_dict(path_or_dict) -> Mapping[str, Any]:
+    """Load a ``.pth`` state dict (pass-through for already-loaded dicts)."""
+    if isinstance(path_or_dict, str):
+        import torch
+
+        return torch.load(path_or_dict, map_location="cpu", weights_only=True)
+    return path_or_dict
+
+
+def infer_lora_rank(path_or_dict) -> Optional[int]:
+    """Rank from the first text-tower ``lora_A`` key's trailing dim (in, r).
+
+    Returns None if the checkpoint has no parsable text LoRA keys. Lets CLIs
+    load rank-4 reference checkpoints and this repo's rank-16 trainer output
+    with the same flags (alpha is not stored in ``.pth`` and must come from
+    config; the reference keeps alpha/rank = 2.0 in both variants).
+    """
+    for key, value in load_pth_dict(path_or_dict).items():
+        parsed = parse_lora_key(key)
+        if parsed is None or parsed[0] != "text" or parsed[3] != "A":
+            continue
+        shape = tuple(value.shape)
+        if len(shape) == 2:
+            return int(shape[1])
+    return None
+
+
 def lora_tree_from_pth(
     path_or_dict,
     config: CLIPConfig,
@@ -58,12 +85,7 @@ def lora_tree_from_pth(
     the reference's non-strict load (main.py:86-113). ``visual.*`` keys are
     ignored: per SURVEY.md §2c they are no-ops in the effective model.
     """
-    if isinstance(path_or_dict, (str,)):
-        import torch
-
-        ckpt = torch.load(path_or_dict, map_location="cpu", weights_only=True)
-    else:
-        ckpt = path_or_dict
+    ckpt = load_pth_dict(path_or_dict)
 
     tree = init_text_lora(jax.random.PRNGKey(seed), config, lora)
     # Mutable numpy staging buffers.

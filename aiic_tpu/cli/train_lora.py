@@ -17,6 +17,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--rank", type=int, default=16)
     p.add_argument("--alpha", type=int, default=32)
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="dropout on the LoRA delta, train-time only "
+                        "(reference LoRALayer dropout, default 0.0)")
     p.add_argument("--test", action="store_true", help="evaluate a trained adapter")
     p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt / HF)")
     p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
@@ -52,7 +55,7 @@ def main(argv=None):
         params=params,
         cfg=TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
-            rank=args.rank, alpha=args.alpha,
+            rank=args.rank, alpha=args.alpha, lora_dropout=args.dropout,
         ),
         image_root=args.image_root,
         resume=args.resume,

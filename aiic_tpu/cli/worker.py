@@ -33,6 +33,13 @@ def main(argv=None):
     p.add_argument("--quantize", action="store_true",
                    help="int8 MLP weights (+22%% throughput, feature cosine "
                         "0.9999 vs bf16; requires --dtype bfloat16)")
+    p.add_argument("--lora-rank", type=int, default=None,
+                   help="adapter rank; default: inferred from the checkpoint "
+                        "(reference checkpoints are rank 4, this repo's "
+                        "train-lora default is 16)")
+    p.add_argument("--lora-alpha", type=float, default=None,
+                   help="adapter alpha; default 2*rank (the reference keeps "
+                        "alpha/rank = 2.0 in both variants)")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -56,14 +63,22 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    rank = args.lora_rank
+    if rank is None and args.use_lora and args.lora_weights:
+        from aiic_tpu.adapters.torch_convert import infer_lora_rank
+
+        rank = infer_lora_rank(args.lora_weights)
+    rank = rank or 4
+    alpha = args.lora_alpha if args.lora_alpha is not None else 2 * rank
+
     params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
     analyzer = InteriorAnalyzer(
         params=params,
         dataset_json=args.dataset_json,
         use_lora=args.use_lora,
         lora_weights_path=args.lora_weights,
-        lora_rank=4,
-        lora_alpha=8,
+        lora_rank=rank,
+        lora_alpha=alpha,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype],
         quantize=args.quantize,
     )

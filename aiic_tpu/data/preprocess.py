@@ -65,10 +65,16 @@ def resize_matrix(in_size: int, out_size: int, quantize: bool = True) -> np.ndar
 
 
 def resize_target(w: int, h: int, size: int) -> Tuple[int, int]:
-    """torchvision Resize(size) semantics: shorter side -> size, keep aspect."""
+    """torchvision Resize(size) semantics: shorter side -> size, keep aspect.
+
+    torchvision computes the long side as ``int(size * long / short)`` —
+    truncation, NOT rounding (torchvision/transforms/functional.py,
+    ``_compute_resized_output_size``). E.g. 640x480 -> 298x224, where
+    rounding would give 299x224 and shift the center crop by a pixel.
+    """
     if w <= h:
-        return size, max(size, int(round(size * h / w)))
-    return max(size, int(round(size * w / h))), size
+        return size, max(size, int(size * h / w))
+    return max(size, int(size * w / h)), size
 
 
 def _clip8(x: np.ndarray) -> np.ndarray:

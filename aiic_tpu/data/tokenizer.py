@@ -173,8 +173,13 @@ class ClipTokenizer:
         return tokens
 
     def decode(self, tokens: Iterable[int]) -> str:
-        specials = {self.sot, self.eot, 0}
-        text = "".join(self.decoder.get(int(t), "") for t in tokens if int(t) not in specials)
+        # Strip SOT/EOT and trailing zero-padding only: in the real CLIP vocab
+        # id 0 is the legitimate token '!', so dropping every 0 would lose it.
+        toks = [int(t) for t in tokens]
+        while toks and toks[-1] == 0:
+            toks.pop()
+        specials = {self.sot, self.eot}
+        text = "".join(self.decoder.get(t, "") for t in toks if t not in specials)
         raw = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 

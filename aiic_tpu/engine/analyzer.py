@@ -92,13 +92,14 @@ class InteriorAnalyzer:
             params = fold_text_lora(params, tree, lc.scaling)
             self.use_lora = True
 
-        # int8 MLP weights (after LoRA folding so adapters are quantized too);
-        # active only on the bf16 compute path (models.clip.block).
+        # int8 MLP + attention-projection weights (after LoRA folding so
+        # adapters are quantized too); active only on the bf16 compute path
+        # (models.clip.block).
         self.quantized = False
         if quantize:
-            from aiic_tpu.ops.quant import quantize_model_mlp
+            from aiic_tpu.ops.quant import quantize_model
 
-            params = quantize_model_mlp(params)
+            params = quantize_model(params)
             self.quantized = True
         self.params = params
 

@@ -90,10 +90,20 @@ def _maybe_lora_linear(
     b: Optional[jnp.ndarray],
     lora: Optional[Params],
     scaling: float,
+    dropout: float = 0.0,
+    rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     y = linear(x, w, b)
     if lora is not None:
-        y = y + lora_delta(x, lora["A"], lora["B"], scaling)
+        d = lora_delta(x, lora["A"], lora["B"], scaling)
+        if dropout > 0.0 and rng is not None:
+            # Train-time inverted dropout on the LoRA delta — the reference
+            # trainer's nn.Dropout on the low-rank path (train_lora.py:16-29).
+            # Scaling commutes with the elementwise mask, so masking after
+            # lora_delta's alpha/rank multiply is equivalent.
+            keep = jax.random.bernoulli(rng, 1.0 - dropout, d.shape)
+            d = jnp.where(keep, d / (1.0 - dropout), jnp.zeros_like(d))
+        y = y + d
     return y
 
 
@@ -110,6 +120,8 @@ def attention(
     lora_out: Optional[Params] = None,
     lora_scaling: float = 1.0,
     attn_impl: str = "xla",
+    lora_dropout: float = 0.0,
+    lora_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention with fused QKV.
 
@@ -147,7 +159,8 @@ def attention(
         out = out.astype(x.dtype)
 
     out = out.reshape(bsz, seq, width)
-    return _maybe_lora_linear(out, p["wo"], p["bo"], lora_out, lora_scaling)
+    return _maybe_lora_linear(out, p["wo"], p["bo"], lora_out, lora_scaling,
+                              dropout=lora_dropout, rng=lora_rng)
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +177,8 @@ def block(
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
     attn_impl: str = "xla",
+    lora_dropout: float = 0.0,
+    lora_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pre-LN residual block: x + attn(ln1(x)); x + mlp(ln2(x)).
 
@@ -175,15 +190,40 @@ def block(
         l_out = lora.get("out_proj")
         l_fc = lora.get("c_fc")
         l_proj = lora.get("c_proj")
+    # Distinct dropout keys per attach point (train-time only).
+    k_out = k_fc = k_proj = None
+    if lora_rng is not None and lora_dropout > 0.0:
+        k_out = jax.random.fold_in(lora_rng, 0)
+        k_fc = jax.random.fold_in(lora_rng, 1)
+        k_proj = jax.random.fold_in(lora_rng, 2)
 
     if attn_impl == "auto":
         from aiic_tpu.ops.attention import resolve_attn_impl
 
         attn_impl = resolve_attn_impl(attn_impl)
 
+    # int8 attention half-block (ops/quant.py): selected when the params
+    # carry quantized projection weights (quantize_model) on the bf16
+    # inference path. Projections are ~89% of half-block FLOPs; v5e runs
+    # int8 MACs at 2x bf16 rate.
+    if (
+        "attn_q" in p
+        and attn_impl in ("pallas", "pallas_mlp")
+        and l_out is None
+        and x.dtype == jnp.bfloat16
+    ):
+        from aiic_tpu.ops.quant import int8_ln_qkv_attention
+
+        on_tpu = jax.default_backend() == "tpu"
+        q = p["attn_q"]
+        x = int8_ln_qkv_attention(
+            x, p["ln1"]["scale"], p["ln1"]["bias"],
+            q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], q["wo_q"], q["so"],
+            p["attn"]["bo"], mask, heads=heads, interpret=not on_tpu,
+        )
     # Whole attention half-block in one kernel (LN1 + QKV proj + attention +
     # out proj + residual, weights VMEM-resident) on the bf16 inference path.
-    if (
+    elif (
         attn_impl in ("pallas", "pallas_mlp")
         and l_out is None
         and x.dtype == jnp.bfloat16
@@ -205,6 +245,8 @@ def block(
             lora_out=l_out,
             lora_scaling=lora_scaling,
             attn_impl=attn_impl,
+            lora_dropout=lora_dropout,
+            lora_rng=k_out,
         )
 
     # int8 MLP kernel (ops/quant.py): selected when the params carry
@@ -247,9 +289,11 @@ def block(
         )
 
     h = layer_norm(x, p["ln2"])
-    h = _maybe_lora_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], l_fc, lora_scaling)
+    h = _maybe_lora_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], l_fc, lora_scaling,
+                           dropout=lora_dropout, rng=k_fc)
     h = _gelu(h, gelu_type)
-    h = _maybe_lora_linear(h, p["mlp"]["w2"], p["mlp"]["b2"], l_proj, lora_scaling)
+    h = _maybe_lora_linear(h, p["mlp"]["w2"], p["mlp"]["b2"], l_proj, lora_scaling,
+                           dropout=lora_dropout, rng=k_proj)
     return x + h
 
 
@@ -263,24 +307,40 @@ def run_tower(
     lora_scaling: float = 1.0,
     attn_impl: str = "xla",
     remat: bool = False,
+    lora_dropout: float = 0.0,
+    lora_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scan the stacked block parameters over the sequence of layers."""
+    use_dropout = lora is not None and lora_dropout > 0.0 and lora_rng is not None
+    layer_keys = None
+    if use_dropout:
+        n_layers = jax.tree.leaves(blocks)[0].shape[0]
+        layer_keys = jax.random.split(lora_rng, n_layers)
 
     def body(carry, layer_inputs):
+        lp = lk = None
         if lora is None:
-            bp, lp = layer_inputs, None
+            bp = layer_inputs
+        elif use_dropout:
+            bp, lp, lk = layer_inputs
         else:
             bp, lp = layer_inputs
         out = block(
             carry, bp, heads, mask, gelu_type,
             lora=lp, lora_scaling=lora_scaling, attn_impl=attn_impl,
+            lora_dropout=lora_dropout if use_dropout else 0.0, lora_rng=lk,
         )
         return out, None
 
     if remat:
         body = jax.checkpoint(body)
 
-    xs = blocks if lora is None else (blocks, lora)
+    if lora is None:
+        xs = blocks
+    elif use_dropout:
+        xs = (blocks, lora, layer_keys)
+    else:
+        xs = (blocks, lora)
     x, _ = lax.scan(body, x, xs)
     return x
 
@@ -352,6 +412,8 @@ def encode_text(
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
     remat: bool = False,
+    lora_dropout: float = 0.0,
+    lora_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Text tower: int32 tokens (B, ctx) -> embeddings (B, embed_dim).
 
@@ -367,6 +429,7 @@ def encode_text(
     x = run_tower(
         x, t["blocks"], config.text.heads, mask, config.gelu_type,
         lora=lora, lora_scaling=lora_scaling, attn_impl=attn_impl, remat=remat,
+        lora_dropout=lora_dropout, lora_rng=lora_rng,
     )
 
     x = layer_norm(x, t["ln_final"])

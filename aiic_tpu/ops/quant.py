@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(in, out) fp weight -> (int8 weight, fp32 per-output-channel scale)."""
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
-    scale = amax / 127.0
+    # Floor mirrors _row_quant's guard: an all-zero column must quantize to
+    # zeros, not 0/0 = NaN silently cast to int8.
+    scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
 
@@ -134,6 +136,148 @@ def int8_ln_mlp(
     return out.reshape(bsz, seq, width)
 
 
+def _int8_attn_kernel(
+    x_ref, ln_s_ref, ln_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+    wo_ref, so_ref, bo_ref, mask_ref, o_ref,
+    *, heads: int, dim: int, scale: float, eps: float,
+):
+    """Whole attention half-block with int8 projection weights, for a group
+    of images per grid step: LN1 -> int8 QKV projection -> per-head attention
+    (bf16 core, fp32 softmax) -> int8 output projection -> residual.
+
+    The QKV and output projections are ~89% of the half-block FLOPs
+    (2·S·W·3W + 2·S·W·W of 2·S·W·4W + 4·H·S²·D per image); v5e executes
+    int8×int8 MACs at twice the bf16 rate, so quantizing just the projections
+    approaches the 2x on the dominant term while the softmax core — where
+    quantization would hurt accuracy — stays in bf16/fp32. Activations are
+    row-quantized dynamically (symmetric amax/127, same scheme as the int8
+    MLP kernel); weights are per-output-channel.
+    """
+    width = heads * dim
+    mask = mask_ref[:]
+    group = x_ref.shape[0]
+    for g in range(group):
+        x = x_ref[g]  # (S, W)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        h = (xf - mean) * jax.lax.rsqrt(var + eps)
+        h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
+
+        hq, hscale = _row_quant(h)
+        acc = jax.lax.dot_general(
+            hq, wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        qkv = acc.astype(jnp.float32) * hscale * sqkv_ref[:] + bqkv_ref[:].astype(jnp.float32)
+        qkv = qkv.astype(x.dtype)  # (S, 3W)
+
+        outs = []
+        for hd in range(heads):
+            q = qkv[:, hd * dim:(hd + 1) * dim]
+            k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+            v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(
+                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            )
+        attn = jnp.concatenate(outs, axis=-1)  # (S, W) fp32
+
+        aq, ascale = _row_quant(attn)
+        acc2 = jax.lax.dot_general(
+            aq, wo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc2.astype(jnp.float32) * ascale * so_ref[:] + bo_ref[:].astype(jnp.float32)
+        o_ref[g] = (xf + out).astype(o_ref.dtype)
+
+
+def int8_ln_qkv_attention(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv_q: jnp.ndarray,
+    sqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wo_q: jnp.ndarray,
+    so: jnp.ndarray,
+    bo: jnp.ndarray,
+    mask=None,
+    *,
+    heads: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, S, W) -> (B, S, W): x + OutProj_int8(Attn(QKV_int8(LN(x))))."""
+    bsz, seq, width = x.shape
+    dim = width // heads
+    scale = dim ** -0.5
+
+    ln_scale = ln_scale.reshape(1, width)
+    ln_bias = ln_bias.reshape(1, width)
+    sqkv = sqkv.reshape(1, 3 * width)
+    bqkv = bqkv.reshape(1, 3 * width)
+    so = so.reshape(1, width)
+    bo = bo.reshape(1, width)
+    full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
+
+    # int8 weights free ~2.7 MB of VMEM vs the bf16 kernel; measured stack
+    # fits at G=2 for ViT-B geometry (same grouping rule as the bf16 kernel).
+    group = 2 if x.dtype.itemsize <= 2 else 1
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _int8_attn_kernel, heads=heads, dim=dim, scale=scale, eps=eps
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        grid=(bsz // group,),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, 3 * width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * seq * width * (4 * width) + 4 * bsz * heads * seq * seq * dim,
+            bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize + 4 * width * width,
+            transcendentals=bsz * heads * seq * seq,
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo_q, so, bo, full_mask)
+    return out
+
+
+def quantize_attn_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize a tower's stacked attention projection weights; returns
+    {wqkv_q, sqkv, wo_q, so} with the leading layer axis preserved."""
+    def per_layer(w):
+        qs = [quantize_weight(w[i]) for i in range(w.shape[0])]
+        return (jnp.stack([q for q, _ in qs]), jnp.stack([s for _, s in qs]))
+
+    wqkv_q, sqkv = per_layer(blocks["attn"]["wqkv"])
+    wo_q, so = per_layer(blocks["attn"]["wo"])
+    return {"wqkv_q": wqkv_q, "sqkv": sqkv, "wo_q": wo_q, "so": so}
+
+
 def quantize_mlp_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize a tower's stacked MLP weights; returns
     {w1_q, s1, w2_q, s2} with the leading layer axis preserved."""
@@ -146,16 +290,24 @@ def quantize_mlp_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:
     return {"w1_q": w1_q, "s1": s1, "w2_q": w2_q, "s2": s2}
 
 
-def quantize_model_mlp(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_model_mlp(params: Dict[str, Any], attn: bool = False) -> Dict[str, Any]:
     """Return a params tree with int8-quantized MLP weights attached as
-    ``blocks['mlp_q']`` for both towers. ``models.clip.block`` picks the int8
-    kernel up automatically on the bf16 inference path (quantize AFTER any
-    LoRA folding so adapters are included in the quantized weights)."""
+    ``blocks['mlp_q']`` for both towers (plus ``blocks['attn_q']`` when
+    ``attn=True``). ``models.clip.block`` picks the int8 kernels up
+    automatically on the bf16 inference path (quantize AFTER any LoRA folding
+    so adapters are included in the quantized weights)."""
     out = dict(params)
     for tower in ("visual", "text"):
         t = dict(out[tower])
         blocks = dict(t["blocks"])
         blocks["mlp_q"] = quantize_mlp_blocks(blocks)
+        if attn:
+            blocks["attn_q"] = quantize_attn_blocks(blocks)
         t["blocks"] = blocks
         out[tower] = t
     return out
+
+
+def quantize_model(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Full int8 serving quantization: MLP + attention projections."""
+    return quantize_model_mlp(params, attn=True)

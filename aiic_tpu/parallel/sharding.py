@@ -119,7 +119,8 @@ def shard_train_step(
 
     jit_train = jax.jit(
         train_step,
-        in_shardings=(s(pspec), s(lspec), s(ospec), batch_sh, batch_sh),
+        in_shardings=(s(pspec), s(lspec), s(ospec), batch_sh, batch_sh,
+                      NamedSharding(mesh, REPL)),  # dropout rng: replicated
         out_shardings=(NamedSharding(mesh, REPL), s(lspec), s(ospec)),
         donate_argnums=(1, 2),
     )

@@ -58,6 +58,10 @@ class TrainConfig:
     # adapters are dead there (SURVEY.md §2c item 3) but alive here, since our
     # attention actually routes through them. Default to the trainable set.
     attach: Tuple[str, ...] = ("c_fc", "c_proj", "out_proj")
+    # Dropout on the LoRA delta, train-time only (reference LoRALayer's
+    # nn.Dropout, train_lora.py:16-29; reference default 0.0 — the only
+    # regularizer the reference has).
+    lora_dropout: float = 0.0
     dtype: Any = jnp.float32
     # Training keeps the XLA attention path: gradients flow through the text
     # tower and the Pallas kernel defines no VJP (the frozen image tower could
@@ -100,10 +104,14 @@ def make_train_step(
 
     ``params`` is a non-differentiated input (frozen backbone); only the
     adapter tree flows through ``value_and_grad``.
+
+    The train step takes a trailing ``rng`` (dropout key). With
+    ``cfg.lora_dropout == 0`` (the reference default) the key is unused and
+    the math is bit-identical to a step without it; eval never drops.
     """
     scaling = cfg.alpha / cfg.rank
 
-    def loss_fn(lora_tree, params, pixels, tokens):
+    def loss_fn(lora_tree, params, pixels, tokens, rng=None):
         img = normalize_features(
             encode_image(params, pixels, config, dtype=cfg.dtype, attn_impl=cfg.attn_impl)
         )
@@ -112,12 +120,17 @@ def make_train_step(
             encode_text(
                 params, tokens, config, dtype=cfg.dtype, attn_impl=cfg.attn_impl,
                 lora=lora_tree, lora_scaling=scaling,
+                lora_dropout=cfg.lora_dropout if rng is not None else 0.0,
+                lora_rng=rng,
             )
         )
         return contrastive_loss(img, txt, params["logit_scale"])
 
-    def train_step(params, lora_tree, opt_state, pixels, tokens):
-        loss, grads = jax.value_and_grad(loss_fn)(lora_tree, params, pixels, tokens)
+    def train_step(params, lora_tree, opt_state, pixels, tokens, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora_tree, params, pixels, tokens,
+            rng if cfg.lora_dropout > 0.0 else None,
+        )
         updates, opt_state = optimizer.update(grads, opt_state, lora_tree)
         lora_tree = optax.apply_updates(lora_tree, updates)
         return loss, lora_tree, opt_state
@@ -245,11 +258,16 @@ def train_lora(
 
     history = []
     best_tree = lora_tree
+    base_key = jax.random.PRNGKey(cfg.seed)
+    step_n = 0
     for epoch in range(start_epoch, cfg.epochs):
         train_losses = []
         for pixels, tokens in run_epoch_batches(train_idx):
+            step_n += 1
             loss, lora_tree, opt_state = train_step(
-                params, lora_tree, opt_state, jnp.asarray(pixels), jnp.asarray(tokens)
+                params, lora_tree, opt_state,
+                jnp.asarray(pixels), jnp.asarray(tokens),
+                jax.random.fold_in(base_key, step_n),
             )
             train_losses.append(float(loss))
         val_losses = []

@@ -173,14 +173,16 @@ std::vector<uint8_t> ResizeBicubic(const uint8_t* img, int w, int h,
   return out;
 }
 
-// torchvision Resize(shorter side) + CenterCrop geometry
+// torchvision Resize(shorter side) + CenterCrop geometry. The long side is
+// int(size * long / short) — truncation, matching torchvision's
+// _compute_resized_output_size (NOT rounding; 640x480 -> 298x224).
 void TargetSize(int w, int h, int size, int* nw, int* nh) {
   if (w <= h) {
     *nw = size;
-    *nh = std::max(size, static_cast<int>(std::lround(static_cast<double>(size) * h / w)));
+    *nh = std::max(size, static_cast<int>(static_cast<double>(size) * h / w));
   } else {
     *nh = size;
-    *nw = std::max(size, static_cast<int>(std::lround(static_cast<double>(size) * w / h)));
+    *nw = std::max(size, static_cast<int>(static_cast<double>(size) * w / h));
   }
 }
 

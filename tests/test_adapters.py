@@ -61,3 +61,16 @@ def test_rank_mismatch_raises():
     lc = LoRAConfig(rank=16, alpha=32, attach=("c_fc", "c_proj"))
     with pytest.raises(ValueError):
         lora_tree_from_pth(CKPT, VIT_B_16, lc)
+
+
+def test_infer_lora_rank():
+    from aiic_tpu.adapters.torch_convert import infer_lora_rank
+
+    if os.path.exists(CKPT):
+        assert infer_lora_rank(CKPT) == 4  # shipped reference checkpoints
+    fake = {
+        "clip_model.transformer.resblocks.0.mlp.c_fc.lora.lora_A": np.zeros((512, 16)),
+        "clip_model.transformer.resblocks.0.mlp.c_fc.lora.lora_B": np.zeros((16, 2048)),
+    }
+    assert infer_lora_rank(fake) == 16  # this repo's train-lora default
+    assert infer_lora_rank({"token_embedding.weight": np.zeros((2, 2))}) is None

@@ -236,6 +236,71 @@ def test_quantized_model_tower_close_to_fp(tiny_bf16_tol=0.08):
     np.testing.assert_allclose(fp, fp_ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_int8_attention_matches_fp32(use_mask):
+    """int8-projection attention half-block vs the composed fp32 XLA ops."""
+    from aiic_tpu.models.clip import attention as xla_attention
+    from aiic_tpu.models.clip import layer_norm
+    from aiic_tpu.ops.quant import int8_ln_qkv_attention, quantize_weight
+
+    rng = np.random.default_rng(21)
+    b, s, w, h = 2, 77, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    p = {
+        "ln1": {"scale": jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32)),
+                "bias": jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))},
+        "attn": {
+            "wqkv": jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32)),
+            "bqkv": jnp.asarray((0.1 * rng.standard_normal(3 * w)).astype(np.float32)),
+            "wo": jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32)),
+            "bo": jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32)),
+        },
+    }
+    mask = causal_mask(s) if use_mask else None
+    ref = np.asarray(
+        x + xla_attention(layer_norm(x, p["ln1"]), p["attn"], h, mask, attn_impl="xla")
+    )
+    wqkv_q, sqkv = quantize_weight(p["attn"]["wqkv"])
+    wo_q, so = quantize_weight(p["attn"]["wo"])
+    out = np.asarray(int8_ln_qkv_attention(
+        x, p["ln1"]["scale"], p["ln1"]["bias"],
+        wqkv_q, sqkv, p["attn"]["bqkv"], wo_q, so, p["attn"]["bo"],
+        mask, heads=h, interpret=True,
+    ))
+    rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel.mean() < 0.01, rel.mean()
+    cos = (out * ref).sum(-1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_full_int8_model_tower_close_to_fp():
+    """encode_image with quantized MLP + attention projections (the full
+    serving quantization) stays >=0.999 cosine vs the bf16 path and is
+    picked up automatically from the params tree."""
+    from aiic_tpu.models import TINY_TEST, encode_image, init_clip_params
+    from aiic_tpu.ops.quant import quantize_model
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    qparams = quantize_model(params)
+    px = jax.random.uniform(jax.random.PRNGKey(1),
+                            (2, TINY_TEST.image_size, TINY_TEST.image_size, 3),
+                            jnp.bfloat16)
+    base = np.asarray(encode_image(params, px, TINY_TEST, dtype=jnp.bfloat16,
+                                   attn_impl="pallas"), np.float32)
+    quant = np.asarray(encode_image(qparams, px, TINY_TEST, dtype=jnp.bfloat16,
+                                    attn_impl="pallas"), np.float32)
+    cos = (base * quant).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(quant, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos
+    # fp32 path ignores quantized weights entirely
+    fp = np.asarray(encode_image(qparams, px.astype(jnp.float32), TINY_TEST))
+    fp_ref = np.asarray(encode_image(params, px.astype(jnp.float32), TINY_TEST))
+    np.testing.assert_allclose(fp, fp_ref, atol=1e-5)
+
+
 def test_int8_mlp_batch1_odd_rows():
     """B=1, S=197 -> 197 rows (prime): must fall back to a single full block
     (TPU requires sublane-divisible or full-dim block shapes)."""

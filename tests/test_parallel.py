@@ -67,19 +67,22 @@ def test_sharded_train_step_matches_single_device(setup, tp):
 
     # single-device reference
     ref_loss, ref_lora, _ = jax.jit(train_step)(
-        params, lora, opt_state, jnp.asarray(pixels), jnp.asarray(tokens)
+        params, lora, opt_state, jnp.asarray(pixels), jnp.asarray(tokens),
+        jax.random.PRNGKey(0)
     )
 
     mesh = create_mesh(8, tp=tp)
     jt, je, sp, sl, so = shard_train_step(mesh, train_step, eval_step, params, lora, opt_state)
-    loss, new_lora, new_opt = jt(sp, sl, so, jnp.asarray(pixels), jnp.asarray(tokens))
+    loss, new_lora, new_opt = jt(sp, sl, so, jnp.asarray(pixels), jnp.asarray(tokens),
+                                  jax.random.PRNGKey(0))
 
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(ref_lora), jax.tree.leaves(new_lora)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
     # second step runs (donated buffers, opt state threading)
-    loss2, _, _ = jt(sp, new_lora, new_opt, jnp.asarray(pixels), jnp.asarray(tokens))
+    loss2, _, _ = jt(sp, new_lora, new_opt, jnp.asarray(pixels), jnp.asarray(tokens),
+                     jax.random.PRNGKey(1))
     assert np.isfinite(float(loss2))
 
 
@@ -88,7 +91,8 @@ def test_grads_flow_only_through_lora(setup):
     params, lora, opt, opt_state, train_step, _, pixels, tokens = setup
     before = jax.tree.map(np.asarray, params)
     _, new_lora, _ = jax.jit(train_step)(
-        params, lora, opt_state, jnp.asarray(pixels), jnp.asarray(tokens)
+        params, lora, opt_state, jnp.asarray(pixels), jnp.asarray(tokens),
+        jax.random.PRNGKey(0)
     )
     after = jax.tree.map(np.asarray, params)
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):

@@ -161,6 +161,68 @@ def test_full_pipeline_detector_parity_on_real_images(oracle, ref_root):
     np.testing.assert_array_equal(out["top_idx"], ref_probs.argmax(-1))
 
 
+def test_serving_config_compound_parity(oracle, ref_root):
+    """The EXACT bench.py/worker serving configuration — bf16 compute +
+    Pallas kernels + int8 MLP and attention-projection weights, all errors
+    compounded — must stay >=0.999 logit cosine vs the fp32 torch oracle on
+    real reference images (BASELINE.md agreement bar; reference rule
+    main.py:208-220)."""
+    import glob
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from aiic_tpu.data.preprocess import preprocess_pil
+    from aiic_tpu.data.tokenizer import tokenize
+    from aiic_tpu.engine.detector import DETECTOR_CATEGORIES, INTERIOR_COUNT
+    from aiic_tpu.ops.quant import quantize_model
+
+    model, params = oracle
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:4]
+    if not paths:
+        pytest.skip("reference images not available")
+    pixels = np.stack([preprocess_pil(Image.open(p)) for p in paths])
+    tokens = tokenize(DETECTOR_CATEGORIES).astype(np.int64)
+
+    with torch.no_grad():
+        rimg = model.get_image_features(
+            pixel_values=torch.from_numpy(pixels).permute(0, 3, 1, 2)
+        )
+        rtxt = model.get_text_features(input_ids=torch.from_numpy(tokens))
+        rimg = rimg / rimg.norm(dim=-1, keepdim=True)
+        rtxt = rtxt / rtxt.norm(dim=-1, keepdim=True)
+        ref_logits = (100.0 * rimg @ rtxt.T).numpy()
+        ref_probs = torch.from_numpy(ref_logits).softmax(dim=-1).numpy()
+
+    qparams = quantize_model(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    )
+    oimg = normalize_features(encode_image(
+        qparams, pixels, VIT_B_16, dtype=jnp.bfloat16, attn_impl="pallas"
+    ))
+    otxt = normalize_features(encode_text(
+        qparams, tokens.astype(np.int32), VIT_B_16,
+        dtype=jnp.bfloat16, attn_impl="pallas",
+    ))
+    our_logits = np.asarray(100.0 * oimg @ otxt.T)
+
+    a, b = our_logits.ravel(), ref_logits.ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos >= 0.999, f"serving-config logit cosine {cos} below bar"
+
+    our_probs = np.exp(our_logits - our_logits.max(-1, keepdims=True))
+    our_probs /= our_probs.sum(-1, keepdims=True)
+    ref_verdict = (
+        (ref_probs[:, :INTERIOR_COUNT].sum(-1) > ref_probs[:, INTERIOR_COUNT:].sum(-1))
+        & (ref_probs.max(-1) > 0.3)
+    )
+    our_verdict = (
+        (our_probs[:, :INTERIOR_COUNT].sum(-1) > our_probs[:, INTERIOR_COUNT:].sum(-1))
+        & (our_probs.max(-1) > 0.3)
+    )
+    np.testing.assert_array_equal(our_verdict, ref_verdict)
+
+
 def test_openai_layout_converter_consistent_with_hf(oracle):
     """Build the OpenAI ``clip``-package state dict layout from the same HF
     weights and require both converters to produce identical pytrees."""

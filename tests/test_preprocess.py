@@ -75,6 +75,10 @@ def test_resize_target_shorter_side():
     assert resize_target(640, 479, 224) == (299, 224)
     assert resize_target(479, 640, 224) == (224, 299)
     assert resize_target(224, 224, 224) == (224, 224)
+    # torchvision truncates the long side (int(), not round): 640x480 -> 298,
+    # where rounding would give 299 and shift the center crop.
+    assert resize_target(640, 480, 224) == (298, 224)
+    assert resize_target(480, 640, 224) == (224, 298)
 
 
 def test_normalization_constants():

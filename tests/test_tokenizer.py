@@ -60,6 +60,19 @@ def test_decode_roundtrip_hermetic():
     assert tok.decode(ids) == text
 
 
+def test_decode_keeps_interior_token_zero():
+    """Only trailing zero-padding is stripped: in the real CLIP vocab id 0 is
+    the legitimate token '!', so a blanket filter would drop characters."""
+    tok = ClipTokenizer()
+    ids = tok.encode("ab")
+    padded = list(ids) + [0, 0, 0]
+    assert tok.decode(padded) == tok.decode(ids)
+    tok0 = tok.decoder[0].replace("</w>", "")
+    interior = [0] + list(ids)
+    assert tok.decode(interior).startswith(tok.decode([0]))
+    assert tok0 in tok.decode(interior)
+
+
 def test_unicode_polish_chars():
     """Polish diacritics must tokenize deterministically (multi-byte UTF-8)."""
     a = tokenize("wnętrze z żółtą ścianą")

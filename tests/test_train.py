@@ -103,6 +103,54 @@ def test_train_lora_end_to_end(synth_dataset, tmp_path):
     assert meta["loaded"] == len(sd)
 
 
+def test_lora_dropout_semantics():
+    """dropout=0 is bit-identical to the no-dropout step; dropout>0 changes
+    the training loss but never folded inference (reference train_lora.py:16-29,
+    dropout applies to the low-rank path at train time only)."""
+    from aiic_tpu.adapters import LoRAConfig, init_text_lora
+    from aiic_tpu.adapters.lora import fold_text_lora
+    from aiic_tpu.models import init_clip_params
+    from aiic_tpu.models.clip import encode_text
+    from aiic_tpu.train.trainer import make_train_step
+
+    config = TINY_TEST
+    params = init_clip_params(jax.random.PRNGKey(0), config)
+    attach = ("c_fc", "c_proj", "out_proj")
+    lora = init_text_lora(jax.random.PRNGKey(1), config, LoRAConfig(2, 4, attach))
+    # make adapters non-trivial so dropout has something to mask
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal((4, config.image_size, config.image_size, 3)).astype(np.float32))
+    tokens = rng.integers(1, config.vocab_size - 2, (4, config.context_length)).astype(np.int32)
+    tokens[:, 0] = config.vocab_size - 2
+    tokens[:, -1] = config.vocab_size - 1
+    tokens = jnp.asarray(tokens)
+    key = jax.random.PRNGKey(7)
+
+    def run(dropout, k):
+        cfg = TrainConfig(epochs=1, batch_size=4, rank=2, alpha=4,
+                          attach=attach, lora_dropout=dropout)
+        opt = make_optimizer(cfg, steps_per_epoch=1)
+        step, _ = make_train_step(config, cfg, opt)
+        loss, new_lora, _ = jax.jit(step)(
+            params, lora, opt.init(lora), pixels, tokens, k)
+        return float(loss), new_lora
+
+    loss0a, _ = run(0.0, key)
+    loss0b, _ = run(0.0, jax.random.PRNGKey(99))  # key must be inert at 0.0
+    assert loss0a == loss0b
+    loss_d, _ = run(0.5, key)
+    assert loss_d != loss0a  # dropout actually perturbs training
+
+    # Folded inference has no dropout path at all: identical regardless of
+    # the train-time dropout setting.
+    folded = fold_text_lora(params, lora, scaling=2.0)
+    a = np.asarray(encode_text(folded, tokens, config))
+    b = np.asarray(encode_text(params, tokens, config, lora=lora, lora_scaling=2.0))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_missing_image_falls_back_to_zero(synth_dataset):
     """Reference train_lora.py:156-161: unreadable image -> zero tensor."""
     from aiic_tpu.train.trainer import PromptedImageDataset

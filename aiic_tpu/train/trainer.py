@@ -242,14 +242,19 @@ def train_lora(
     train_step, eval_step = make_train_step(config, cfg, optimizer)
 
     if mesh is not None:
+        from aiic_tpu.parallel.multihost import host_local_batch
         from aiic_tpu.parallel.sharding import shard_train_step
 
         train_step, eval_step, params, lora_tree, opt_state = shard_train_step(
             mesh, train_step, eval_step, params, lora_tree, opt_state
         )
+        # Multi-host DP input seam (SURVEY §2d): each process feeds only its
+        # rows; under one process this is plain ('data',) placement.
+        place_batch = lambda x: host_local_batch(mesh, x)
     else:
         train_step = jax.jit(train_step, donate_argnums=(1, 2))
         eval_step = jax.jit(eval_step)
+        place_batch = jnp.asarray
 
     def run_epoch_batches(indices):
         idx = rng.permutation(indices)
@@ -266,7 +271,7 @@ def train_lora(
             step_n += 1
             loss, lora_tree, opt_state = train_step(
                 params, lora_tree, opt_state,
-                jnp.asarray(pixels), jnp.asarray(tokens),
+                place_batch(pixels), place_batch(tokens),
                 jax.random.fold_in(base_key, step_n),
             )
             train_losses.append(float(loss))
@@ -284,7 +289,7 @@ def train_lora(
                     sl = vi_padded[: cfg.batch_size]
                 pixels, tokens = ds.batch(sl, rng)
                 val_losses.append(
-                    float(eval_step(params, lora_tree, jnp.asarray(pixels), jnp.asarray(tokens)))
+                    float(eval_step(params, lora_tree, place_batch(pixels), place_batch(tokens)))
                 )
         avg_train = float(np.mean(train_losses)) if train_losses else float("nan")
         avg_val = float(np.mean(val_losses)) if val_losses else avg_train

@@ -53,11 +53,20 @@ def main():
     # (dynamic per-row activation quant). Feature cosine vs the bf16 path is
     # 0.9999 (tested) — above the BASELINE >=0.999 agreement bar. Set
     # AIIC_BENCH_INT8=0 to bench the pure-bf16 path.
-    if os.environ.get("AIIC_BENCH_INT8", "1") != "0":
+    # AIIC_BENCH_INT8: "0" = pure bf16, "1" = int8 MLP only, "2"/default =
+    # int8 MLP + attention projections (the serving config; parity-gated in
+    # tests/test_parity_torch.py::test_serving_config_compound_parity).
+    int8_level = os.environ.get("AIIC_BENCH_INT8", "2")
+    if int8_level == "1":
         from aiic_tpu.ops.quant import quantize_model_mlp
 
         params = quantize_model_mlp(params)
-        log("int8 MLP weights active (AIIC_BENCH_INT8=0 for pure bf16)")
+        log("int8 MLP weights active")
+    elif int8_level != "0":
+        from aiic_tpu.ops.quant import quantize_model
+
+        params = quantize_model(params)
+        log("int8 MLP + attention-projection weights active (AIIC_BENCH_INT8=0 bf16, =1 MLP-only)")
 
     rng = np.random.default_rng(0)
     det_text = rng.standard_normal((len(DETECTOR_CATEGORIES), config.embed_dim)).astype(np.float32)

@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--seed-demo", action="store_true")
     p.add_argument("--serve", action="store_true", help="start the REST API instead of one-shot drain")
     p.add_argument("--port", type=int, default=3000)
+    p.add_argument("--request-timeout", type=float, default=30.0,
+                   help="seconds before a POST /analyze request is failed "
+                        "(504) and dead-lettered instead of blocking forever")
     p.add_argument("--dataset-json", type=str, default="interior_dataset.json")
     p.add_argument("--weights", type=str, help="backbone weights")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16",
@@ -104,7 +107,15 @@ def main(argv=None):
                 for i in range(pixels.shape[0])
             ]
 
-        batcher = DynamicBatcher(run_batch, max_batch=64, max_wait_ms=10.0)
+        from aiic_tpu.serve.metrics import GLOBAL_METRICS
+
+        def dead_letter(n):
+            GLOBAL_METRICS.inc("analyze_dead_letters_total", n)
+
+        batcher = DynamicBatcher(
+            run_batch, max_batch=64, max_wait_ms=10.0,
+            batch_timeout_s=max(args.request_timeout, 1.0), on_timeout=dead_letter,
+        )
 
         from aiic_tpu.data.native_loader import native_available, preprocess_jpeg_batch
         from aiic_tpu.data.preprocess import (
@@ -116,13 +127,25 @@ def main(argv=None):
         use_native = native_available()
         size = analyzer.config.image_size
 
+        def _submit(item):
+            import concurrent.futures
+
+            fut = batcher.submit(item)
+            try:
+                return fut.result(timeout=args.request_timeout)
+            except concurrent.futures.TimeoutError as e:
+                dead_letter(1)
+                raise TimeoutError(
+                    f"request exceeded {args.request_timeout}s"
+                ) from e
+
         def analyze_bytes(data: bytes):
             # All batcher items are uint8 (normalize fused on device); a mixed
             # uint8/float batch would silently corrupt under np.stack.
             if use_native:
                 pixels, ok = preprocess_jpeg_batch([data], size)
                 if ok[0]:
-                    return batcher(pixels[0])
+                    return _submit(pixels[0])
             arr = decode_image_bytes(data)  # non-JPEG fallback (PNG, ...)
             if arr is None:
                 return {"error": "could not decode image"}
@@ -132,13 +155,26 @@ def main(argv=None):
             top, left = center_crop_bounds(nw, nh, size)
             crop = res[max(top, 0): max(top, 0) + size,
                        max(left, 0): max(left, 0) + size].astype(np.uint8)
-            return batcher(crop)
+            return _submit(crop)
 
-        print("warming classify buckets (1..64)...")
-        analyzer.warmup([1, 2, 4, 8, 16, 32, 64])
-        server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port)
-        print(f"serving on :{args.port} (endpoints: /health /apartments /process-pending "
-              f"/process/:id /results /export, POST /analyze)")
+        # Serve immediately; warm (text cache + bucket precompile) in the
+        # background and flip /ready when done — load balancers gate on
+        # /ready, /health stays liveness-only (cold compile here is ~60s).
+        import threading
+
+        warmed = threading.Event()
+
+        def _warm():
+            print("warming classify buckets (1..64)...")
+            analyzer.warmup([1, 2, 4, 8, 16, 32, 64])
+            warmed.set()
+            print("warmup complete — /ready now true")
+
+        threading.Thread(target=_warm, daemon=True).start()
+        server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port,
+                             ready_fn=warmed.is_set)
+        print(f"serving on :{args.port} (endpoints: /health /ready /apartments "
+              f"/process-pending /process/:id /results /export /metrics, POST /analyze)")
         try:
             server.serve_forever()
         except KeyboardInterrupt:

@@ -37,6 +37,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _mm_prec(dt):
+    """Matmul precision for in-kernel dots: non-fp32 operands must NOT
+    inherit a caller's default_matmul_precision("highest") context — Mosaic
+    cannot multi-pass bf16/int8 operands ("Bad lhs type"). fp32 operands keep
+    the context so fp32 parity runs get exact multi-pass matmuls."""
+    import jax.numpy as _jnp
+
+    return None if dt == _jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _ln_qkv_attention_kernel(
     x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, mask_ref,
     o_ref, *, heads: int, dim: int, scale: float, eps: float,
@@ -57,7 +67,8 @@ def _ln_qkv_attention_kernel(
         h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
         h = h.astype(x.dtype)
 
-        qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+        qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32,
+                      precision=_mm_prec(h.dtype))
         qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)  # (S, 3W)
 
         outs = []
@@ -68,17 +79,20 @@ def _ln_qkv_attention_kernel(
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_prec(q.dtype),
             ) * scale
             s = s + mask
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             outs.append(
-                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(x.dtype)
+                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                        precision=_mm_prec(v.dtype)).astype(x.dtype)
             )
         attn = jnp.concatenate(outs, axis=-1)  # (S, W)
 
-        out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+        out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32,
+                      precision=_mm_prec(attn.dtype))
         out = out + bo_ref[:].astype(jnp.float32)
         o_ref[g] = (xf + out).astype(o_ref.dtype)
 
@@ -167,6 +181,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # batched q @ k.T
         preferred_element_type=jnp.float32,
+        precision=_mm_prec(q.dtype),
     ) * scale
     s = s + mask_ref[:][None]  # additive: causal and/or padding, fp32
     # numerically-stable softmax in fp32
@@ -178,6 +193,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # batched p @ v
         preferred_element_type=jnp.float32,
+        precision=_mm_prec(v.dtype),
     )
     o_ref[:] = o.astype(o_ref.dtype)
 
@@ -290,12 +306,14 @@ def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, dim: int,
                 q, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_prec(q.dtype),
             ) * scale
             s = s + mask
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                        precision=_mm_prec(v.dtype))
             outs.append(o.astype(o_ref.dtype))
         # One lane-aligned (S, H*D) store — exactly the layout the
         # out-projection consumes, so no reshape survives outside.

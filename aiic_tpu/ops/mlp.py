@@ -31,11 +31,13 @@ def _mlp_kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref
     h = (xf - mean) * jax.lax.rsqrt(var + eps)
     h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
     h = h.astype(x.dtype)
-    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=None if h.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     h = h + b1_ref[:].astype(jnp.float32)
     h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu in fp32
     h = h.astype(x.dtype)
-    h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32,
+                precision=None if h.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     h = h + b2_ref[:].astype(jnp.float32)
     o_ref[:] = (xf + h).astype(o_ref.dtype)
 

@@ -26,6 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round_up_rows(n: int, m: int = 8) -> int:
+    """Round up to the sublane multiple (8) for row-block shapes."""
+    return ((n + m - 1) // m) * m
+
+
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(in, out) fp weight -> (int8 weight, fp32 per-output-channel scale)."""
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
@@ -60,6 +65,7 @@ def _int8_mlp_kernel(
         hq, w1_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int8 MACs; 'highest' context would break Mosaic
     )
     y = acc.astype(jnp.float32) * hscale * s1_ref[:] + b1_ref[:].astype(jnp.float32)
     y = y * jax.nn.sigmoid(1.702 * y)  # quick_gelu, fp32
@@ -69,6 +75,7 @@ def _int8_mlp_kernel(
         yq, w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     out = acc2.astype(jnp.float32) * yscale * s2_ref[:] + b2_ref[:].astype(jnp.float32)
     o_ref[:] = (xf + out).astype(o_ref.dtype)
@@ -95,13 +102,16 @@ def int8_ln_mlp(
     n = bsz * seq
     xf = x.reshape(n, width)
 
-    # Largest power-of-two divisor of n that is >=8 (TPU sublane rule);
-    # if none exists (e.g. n=197 at batch 1), one block covering all rows.
-    r = rows
-    while r >= 8 and n % r != 0:
-        r //= 2
-    if r < 8:
-        r = n
+    # Fixed row blocks with zero-padding to a block multiple. (The previous
+    # "largest divisor of n" fallback put ALL rows in one block when n had no
+    # power-of-two divisor — at n=1182 (batch 6) the int32 accumulator alone
+    # is 14.5 MB and the kernel blows the 16 MB scoped-VMEM budget. Padded
+    # rows LN/quantize to zeros and are sliced off below.)
+    r = min(rows, _round_up_rows(n))
+    pad = (-n) % r
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    n_padded = n + pad
 
     ln_scale = ln_scale.reshape(1, width)
     ln_bias = ln_bias.reshape(1, width)
@@ -112,8 +122,8 @@ def int8_ln_mlp(
 
     out = pl.pallas_call(
         functools.partial(_int8_mlp_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((n, width), x.dtype),
-        grid=(n // r,),
+        out_shape=jax.ShapeDtypeStruct((n_padded, width), x.dtype),
+        grid=(n_padded // r,),
         in_specs=[
             pl.BlockSpec((r, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -133,7 +143,7 @@ def int8_ln_mlp(
         ),
         interpret=interpret,
     )(xf, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2)
-    return out.reshape(bsz, seq, width)
+    return out[:n].reshape(bsz, seq, width)
 
 
 def _int8_attn_kernel(
@@ -169,6 +179,7 @@ def _int8_attn_kernel(
             hq, wqkv_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,  # int8 MACs; see int8 MLP note
         )
         qkv = acc.astype(jnp.float32) * hscale * sqkv_ref[:] + bqkv_ref[:].astype(jnp.float32)
         qkv = qkv.astype(x.dtype)  # (S, 3W)
@@ -181,13 +192,15 @@ def _int8_attn_kernel(
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=None if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
             ) * scale
             s = s + mask
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             outs.append(
-                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                        precision=None if v.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
             )
         attn = jnp.concatenate(outs, axis=-1)  # (S, W) fp32
 
@@ -196,6 +209,7 @@ def _int8_attn_kernel(
             aq, wo_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         out = acc2.astype(jnp.float32) * ascale * so_ref[:] + bo_ref[:].astype(jnp.float32)
         o_ref[g] = (xf + out).astype(o_ref.dtype)

@@ -30,10 +30,21 @@ class DynamicBatcher:
         max_batch: int = 64,
         max_wait_ms: float = 10.0,
         metrics=None,
+        batch_timeout_s: float | None = None,
+        on_timeout: Callable[[int], None] | None = None,
     ):
+        """``batch_timeout_s``: hard deadline per dispatched batch. A batch
+        that exceeds it fails its requests with TimeoutError and the collector
+        moves on to the next batch instead of wedging the whole server behind
+        one hung dispatch (the abandoned dispatch thread is daemonic and
+        eventually dies with its computation; its late results land on
+        already-failed futures, a no-op). ``on_timeout(n_items)`` is the
+        dead-letter hook."""
         self._run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.batch_timeout = batch_timeout_s
+        self._on_timeout = on_timeout
         if metrics is None:
             from aiic_tpu.serve.metrics import GLOBAL_METRICS
 
@@ -87,12 +98,45 @@ class DynamicBatcher:
             futures = [b[1] for b in batch]
             t0 = time.perf_counter()
             try:
-                results = self._run_batch(items)
+                if self.batch_timeout is None:
+                    results = self._run_batch(items)
+                else:
+                    results = self._run_with_deadline(items, len(futures))
                 for fut, res in zip(futures, results):
-                    fut.set_result(res)
+                    if not fut.done():
+                        fut.set_result(res)
                 self.metrics.observe_batch(len(batch), self.max_batch, time.perf_counter() - t0)
             except Exception as e:
-                self.metrics.inc("batch_errors_total")
+                if isinstance(e, TimeoutError):
+                    self.metrics.inc("batch_timeouts_total")
+                    if self._on_timeout is not None:
+                        try:
+                            self._on_timeout(len(futures))
+                        except Exception:
+                            pass
+                else:
+                    self.metrics.inc("batch_errors_total")
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def _run_with_deadline(self, items, n: int):
+        """Dispatch on a fresh daemon thread and wait at most batch_timeout."""
+        box: dict = {}
+
+        def work():
+            try:
+                box["results"] = self._run_batch(items)
+            except Exception as e:  # propagate real errors, not just timeouts
+                box["error"] = e
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(self.batch_timeout)
+        if t.is_alive():
+            raise TimeoutError(
+                f"batch of {n} exceeded {self.batch_timeout}s deadline"
+            )
+        if "error" in box:
+            raise box["error"]
+        return box["results"]

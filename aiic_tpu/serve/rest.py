@@ -32,9 +32,13 @@ def make_server(
     analyze_fn: Optional[Callable[[bytes], Dict[str, Any]]] = None,
     port: int = 3000,
     host: str = "127.0.0.1",
+    ready_fn: Optional[Callable[[], bool]] = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server. ``analyze_fn`` maps raw image bytes
-    to a result dict (wired to the batcher by the CLI)."""
+    to a result dict (wired to the batcher by the CLI). ``ready_fn`` backs
+    ``GET /ready`` — load balancers should gate traffic on it; ``/health``
+    stays liveness-only (the server accepts connections while the model is
+    still warming, reference gap noted in SURVEY §5c)."""
     db = db if db is not None else InMemoryDB()
 
     class Handler(BaseHTTPRequestHandler):
@@ -55,7 +59,7 @@ def make_server(
                 self._json({
                     "message": "Interior Analysis API is running!",
                     "endpoints": {
-                        "health": "/health", "test": "/test",
+                        "health": "/health", "ready": "/ready", "test": "/test",
                         "apartments": "/apartments",
                         "process_pending": "/process-pending",
                         "process_id": "/process/:id",
@@ -67,6 +71,11 @@ def make_server(
             elif self.path == "/health":
                 self._json({"status": "OK", "message": "API is working!",
                             "timestamp": datetime.now().isoformat()})
+            elif self.path == "/ready":
+                ready = bool(ready_fn()) if ready_fn is not None else True
+                self._json({"ready": ready,
+                            "timestamp": datetime.now().isoformat()},
+                           200 if ready else 503)
             elif self.path == "/test":
                 self._json({"message": "Hello World! Test successful!"})
             elif self.path == "/apartments":
@@ -104,6 +113,9 @@ def make_server(
                 data = self.rfile.read(length)
                 try:
                     self._json(analyze_fn(data))
+                except TimeoutError as e:
+                    self._json({"error": f"analysis timed out: {e}",
+                                "dead_lettered": True}, 504)
                 except Exception as e:
                     self._json({"error": str(e)}, 500)
             else:

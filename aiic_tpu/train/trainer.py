@@ -63,10 +63,15 @@ class TrainConfig:
     # regularizer the reference has).
     lora_dropout: float = 0.0
     dtype: Any = jnp.float32
-    # Training keeps the XLA attention path: gradients flow through the text
-    # tower and the Pallas kernel defines no VJP (the frozen image tower could
-    # use it, but one implementation keeps the step simple).
+    # Text tower keeps the XLA attention path: gradients flow through it and
+    # the Pallas kernel defines no VJP.
     attn_impl: str = "xla"
+    # The FROZEN image tower needs no VJP at all — nothing differentiated
+    # enters it (params are a non-diff input, pixels are data), so it can run
+    # the fused Pallas kernels. None = 'auto' (Pallas on TPU) single-device,
+    # 'xla' under a mesh (GSPMD cannot partition the custom call over the
+    # 'model' axis).
+    image_attn_impl: Any = None
 
 
 def contrastive_loss(
@@ -110,10 +115,11 @@ def make_train_step(
     the math is bit-identical to a step without it; eval never drops.
     """
     scaling = cfg.alpha / cfg.rank
+    image_impl = cfg.image_attn_impl if cfg.image_attn_impl is not None else "auto"
 
     def loss_fn(lora_tree, params, pixels, tokens, rng=None):
         img = normalize_features(
-            encode_image(params, pixels, config, dtype=cfg.dtype, attn_impl=cfg.attn_impl)
+            encode_image(params, pixels, config, dtype=cfg.dtype, attn_impl=image_impl)
         )
         img = jax.lax.stop_gradient(img)
         txt = normalize_features(
@@ -208,6 +214,10 @@ def train_lora(
     from aiic_tpu.models.init import init_clip_params
 
     cfg = cfg or TrainConfig()
+    if mesh is not None and cfg.image_attn_impl is None:
+        # GSPMD cannot partition the Pallas custom call over the 'model'
+        # axis; the XLA einsum path shards cleanly.
+        cfg = dataclasses.replace(cfg, image_attn_impl="xla")
     if params is None:
         params = init_clip_params(jax.random.PRNGKey(cfg.seed), config)
 

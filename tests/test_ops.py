@@ -301,9 +301,35 @@ def test_full_int8_model_tower_close_to_fp():
     np.testing.assert_allclose(fp, fp_ref, atol=1e-5)
 
 
+def test_int8_mlp_batch6_padded_blocks():
+    """B=6, S=197 -> 1182 rows with no power-of-two divisor: must pad to the
+    fixed block size rather than one giant block (a 1182-row block's int32
+    accumulator alone is 14.5 MB and blows the 16 MB scoped-VMEM budget —
+    found by the 150-image parity gate whose last chunk is 6 images)."""
+    from aiic_tpu.models.clip import layer_norm, quick_gelu
+    from aiic_tpu.ops.quant import int8_ln_mlp, quantize_weight
+
+    rng = np.random.default_rng(3)
+    b, s, w, m = 6, 197, 32, 128
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    ln_s = jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln_b = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((w, m)) * 0.1).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((m, w)) * 0.1).astype(np.float32))
+    w1_q, s1 = quantize_weight(w1)
+    w2_q, s2 = quantize_weight(w2)
+    out = np.asarray(int8_ln_mlp(x, ln_s, ln_b, w1_q, s1, jnp.zeros((m,)),
+                                 w2_q, s2, jnp.zeros((w,)), interpret=True))
+    assert out.shape == (b, s, w)
+    h = layer_norm(x, {"scale": ln_s, "bias": ln_b})
+    ref = np.asarray(x + quick_gelu(h @ w1) @ w2)
+    rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel.mean() < 0.01, rel.mean()
+
+
 def test_int8_mlp_batch1_odd_rows():
-    """B=1, S=197 -> 197 rows (prime): must fall back to a single full block
-    (TPU requires sublane-divisible or full-dim block shapes)."""
+    """B=1, S=197 -> 197 rows (prime): pads to a 200-row sublane-aligned
+    block (TPU requires sublane-divisible or full-dim block shapes)."""
     from aiic_tpu.ops.quant import int8_ln_mlp, quantize_weight
 
     rng = np.random.default_rng(2)

@@ -276,3 +276,79 @@ def test_rest_analyze_endpoint_with_analyzer(analyzer, ref_root):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_ready_endpoint_gates_on_warmup(db_with_images):
+    import threading
+
+    warmed = threading.Event()
+    server = make_server(db=db_with_images, port=0, ready_fn=warmed.is_set)
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        req = f"http://127.0.0.1:{port}/ready"
+        with pytest.raises(urllib.error.HTTPError) as exc:  # not warm -> 503
+            urllib.request.urlopen(req, timeout=5)
+        assert exc.value.code == 503
+        # /health stays liveness-only while warming
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=5) as r:
+            assert r.status == 200
+        warmed.set()
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.status == 200
+            assert json.loads(r.read().decode())["ready"] is True
+    finally:
+        server.shutdown()
+
+
+def test_hung_batch_times_out_without_wedging_batcher():
+    """A dispatch that hangs must fail its requests with TimeoutError, fire
+    the dead-letter hook, and leave the batcher serving subsequent batches."""
+    import threading
+    import time as _time
+
+    first = threading.Event()
+    dead = []
+
+    def run_batch(items):
+        if not first.is_set():
+            first.set()
+            _time.sleep(30)  # hung dispatch (abandoned daemon thread)
+        return [int(x.sum()) for x in items]
+
+    b = DynamicBatcher(
+        run_batch, max_batch=4, max_wait_ms=5.0,
+        batch_timeout_s=0.3, on_timeout=dead.append,
+    )
+    fut = b.submit(np.ones((2, 2), np.float32))
+    with pytest.raises(TimeoutError):
+        fut.result(timeout=10)
+    assert dead == [1]
+    # batcher still alive: next batch runs normally
+    out = b.submit(np.ones((2, 2), np.float32)).result(timeout=10)
+    assert out == 4
+    b.close()
+
+
+def test_analyze_timeout_returns_504_and_dead_letters(db_with_images):
+    """POST /analyze through a hung analyzer: client gets 504 with
+    dead_lettered=true instead of blocking forever."""
+    import time as _time
+
+    def analyze_fn(data: bytes):
+        raise TimeoutError("request exceeded 0.1s")
+
+    server = make_server(db=db_with_images, analyze_fn=analyze_fn, port=0)
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze", data=b"img", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=5)
+        assert exc.value.code == 504
+        body = json.loads(exc.value.read().decode())
+        assert body["dead_lettered"] is True
+    finally:
+        server.shutdown()

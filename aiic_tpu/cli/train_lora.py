@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
     p.add_argument("--resume", action="store_true",
                    help="continue from {save-path}.state.npz (full state)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="train over an N-device ('data','model') mesh "
+                        "(0 = single device); batch placement goes through "
+                        "the multi-host input seam")
+    p.add_argument("--tp", type=int, default=None,
+                   help="model-axis size within --mesh (default: auto)")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -49,6 +55,12 @@ def main(argv=None):
 
     from aiic_tpu.train import TrainConfig, train_lora
 
+    mesh = None
+    if args.mesh:
+        from aiic_tpu.parallel import create_mesh
+
+        mesh = create_mesh(args.mesh, tp=args.tp)
+
     out = train_lora(
         args.json_path,
         args.save_path,
@@ -58,6 +70,7 @@ def main(argv=None):
             rank=args.rank, alpha=args.alpha, lora_dropout=args.dropout,
         ),
         image_root=args.image_root,
+        mesh=mesh,
         resume=args.resume,
     )
     print(f"best val loss: {out['best_val_loss']:.4f}")

@@ -81,12 +81,18 @@ def _int8_mlp_kernel_3d(
     natural tiled layout directly. The flat-rows layout forces XLA to
     materialize a relayout copy on BOTH sides of the custom call ((B,S,W)
     tiles pad S=197 per image; the flat (B·S,W) view doesn't) — measured
-    2.4 ms per reshape per step at B=256, 4.7 ms of the 50 ms step."""
-    for g in range(x_ref.shape[0]):
-        o_ref[g] = _int8_mlp_rows(
-            x_ref[g], ln_s_ref[:], ln_b_ref[:], w1_ref[:], s1_ref[:], b1_ref[:],
-            w2_ref[:], s2_ref[:], b2_ref[:], eps,
-        )
+    2.4 ms per reshape per step at B=256, 4.7 ms of the 50 ms step.
+
+    The G slabs are merged into ONE (G·S, W) matmul inside VMEM: per-slab
+    matmuls pad 197 rows -> 224 sublane tiles EACH (12% dead MACs); the
+    merged form pads once."""
+    group, seq, width = x_ref.shape
+    x = x_ref[:].reshape(group * seq, width)
+    out = _int8_mlp_rows(
+        x, ln_s_ref[:], ln_b_ref[:], w1_ref[:], s1_ref[:], b1_ref[:],
+        w2_ref[:], s2_ref[:], b2_ref[:], eps,
+    )
+    o_ref[:] = out.reshape(group, seq, width)
 
 
 def int8_ln_mlp(
@@ -172,30 +178,36 @@ def _int8_attn_kernel(
     """
     width = heads * dim
     mask = mask_ref[:]
-    group = x_ref.shape[0]
+    group, seq, _ = x_ref.shape
+    # Both projections (~89% of half-block FLOPs) run ROW-MERGED across the
+    # image group — per-slab matmuls pad 197 rows -> 224 sublane tiles each
+    # (12% dead MACs), merged they pad once. Only the per-image softmax core
+    # runs per slab (each image has its own mask/normalization).
+    x = x_ref[:].reshape(group * seq, width)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
+
+    hq, hscale = _row_quant(h)
+    acc = jax.lax.dot_general(
+        hq, wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int8 MACs; see int8 MLP note
+    )
+    qkv = acc.astype(jnp.float32) * hscale * sqkv_ref[:] + bqkv_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)  # (G*S, 3W)
+
+    attns = []
     for g in range(group):
-        x = x_ref[g]  # (S, W)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        h = (xf - mean) * jax.lax.rsqrt(var + eps)
-        h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
-
-        hq, hscale = _row_quant(h)
-        acc = jax.lax.dot_general(
-            hq, wqkv_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-            precision=jax.lax.Precision.DEFAULT,  # int8 MACs; see int8 MLP note
-        )
-        qkv = acc.astype(jnp.float32) * hscale * sqkv_ref[:] + bqkv_ref[:].astype(jnp.float32)
-        qkv = qkv.astype(x.dtype)  # (S, 3W)
-
+        tile = qkv[g * seq:(g + 1) * seq]
         outs = []
         for hd in range(heads):
-            q = qkv[:, hd * dim:(hd + 1) * dim]
-            k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
-            v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            q = tile[:, hd * dim:(hd + 1) * dim]
+            k = tile[:, width + hd * dim: width + (hd + 1) * dim]
+            v = tile[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -209,17 +221,18 @@ def _int8_attn_kernel(
                 jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
                         precision=None if v.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
             )
-        attn = jnp.concatenate(outs, axis=-1)  # (S, W) fp32
+        attns.append(jnp.concatenate(outs, axis=-1))  # (S, W) fp32
+    attn = jnp.concatenate(attns, axis=0)  # (G*S, W)
 
-        aq, ascale = _row_quant(attn)
-        acc2 = jax.lax.dot_general(
-            aq, wo_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        out = acc2.astype(jnp.float32) * ascale * so_ref[:] + bo_ref[:].astype(jnp.float32)
-        o_ref[g] = (xf + out).astype(o_ref.dtype)
+    aq, ascale = _row_quant(attn)
+    acc2 = jax.lax.dot_general(
+        aq, wo_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    out = acc2.astype(jnp.float32) * ascale * so_ref[:] + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = (xf + out).astype(o_ref.dtype).reshape(group, seq, width)
 
 
 def int8_ln_qkv_attention(

@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--dropout", type=float, default=0.0,
                    help="dropout on the LoRA delta, train-time only "
                         "(reference LoRALayer dropout, default 0.0)")
+    p.add_argument("--quantize-image", action="store_true",
+                   help="run the frozen image tower with the int8 serving "
+                        "numerics (bf16 + int8 kernels) so adapters train "
+                        "against the exact features served in production")
     p.add_argument("--test", action="store_true", help="evaluate a trained adapter")
     p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt / HF)")
     p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
@@ -68,6 +72,7 @@ def main(argv=None):
         cfg=TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             rank=args.rank, alpha=args.alpha, lora_dropout=args.dropout,
+            quantize_image=args.quantize_image,
         ),
         image_root=args.image_root,
         mesh=mesh,

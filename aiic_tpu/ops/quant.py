@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from aiic_tpu.ops.attention import softmax_rows
+
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(in, out) fp weight -> (int8 weight, fp32 per-output-channel scale)."""
@@ -214,9 +216,7 @@ def _int8_attn_kernel(
                 precision=None if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
             ) * scale
             s = s + mask
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = softmax_rows(s)  # fp32, clamp-guarded (ops/attention.py)
             outs.append(
                 jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
                         precision=None if v.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
@@ -324,14 +324,18 @@ def quantize_mlp_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:
     return {"w1_q": w1_q, "s1": s1, "w2_q": w2_q, "s2": s2}
 
 
-def quantize_model_mlp(params: Dict[str, Any], attn: bool = False) -> Dict[str, Any]:
+def quantize_model_mlp(
+    params: Dict[str, Any],
+    attn: bool = False,
+    towers: Tuple[str, ...] = ("visual", "text"),
+) -> Dict[str, Any]:
     """Return a params tree with int8-quantized MLP weights attached as
-    ``blocks['mlp_q']`` for both towers (plus ``blocks['attn_q']`` when
+    ``blocks['mlp_q']`` for the given towers (plus ``blocks['attn_q']`` when
     ``attn=True``). ``models.clip.block`` picks the int8 kernels up
     automatically on the bf16 inference path (quantize AFTER any LoRA folding
     so adapters are included in the quantized weights)."""
     out = dict(params)
-    for tower in ("visual", "text"):
+    for tower in towers:
         t = dict(out[tower])
         blocks = dict(t["blocks"])
         blocks["mlp_q"] = quantize_mlp_blocks(blocks)

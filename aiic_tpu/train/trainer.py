@@ -72,6 +72,12 @@ class TrainConfig:
     # 'xla' under a mesh (GSPMD cannot partition the custom call over the
     # 'model' axis).
     image_attn_impl: Any = None
+    # Run the frozen image tower with the SERVING numerics: bf16 + int8
+    # MLP/attention-projection weights (ops/quant.quantize_model). Adapters
+    # then train against exactly the image features the int8 serving config
+    # produces, instead of fp32 features it will never see again. Single
+    # device only (the int8 kernels are custom calls GSPMD cannot partition).
+    quantize_image: bool = False
 
 
 def contrastive_loss(
@@ -116,11 +122,15 @@ def make_train_step(
     """
     scaling = cfg.alpha / cfg.rank
     image_impl = cfg.image_attn_impl if cfg.image_attn_impl is not None else "auto"
+    # Serving-numerics image tower: the int8 kernels only engage on the bf16
+    # path (models.clip.block), so the frozen branch switches dtype; the
+    # differentiated text branch keeps cfg.dtype.
+    image_dtype = jnp.bfloat16 if cfg.quantize_image else cfg.dtype
 
     def loss_fn(lora_tree, params, pixels, tokens, rng=None):
         img = normalize_features(
-            encode_image(params, pixels, config, dtype=cfg.dtype, attn_impl=image_impl)
-        )
+            encode_image(params, pixels, config, dtype=image_dtype, attn_impl=image_impl)
+        ).astype(cfg.dtype)
         img = jax.lax.stop_gradient(img)
         txt = normalize_features(
             encode_text(
@@ -220,6 +230,18 @@ def train_lora(
         cfg = dataclasses.replace(cfg, image_attn_impl="xla")
     if params is None:
         params = init_clip_params(jax.random.PRNGKey(cfg.seed), config)
+
+    if cfg.quantize_image:
+        if mesh is not None:
+            raise ValueError(
+                "quantize_image trains against the int8 Pallas serving kernels, "
+                "which GSPMD cannot partition — use a single device (mesh=None)"
+            )
+        from aiic_tpu.ops.quant import quantize_model_mlp
+
+        # int8 weights on the FROZEN tower only; the text tower keeps fp
+        # weights (its LoRA attach points bypass the int8 kernels anyway).
+        params = quantize_model_mlp(params, attn=True, towers=("visual",))
 
     if image_root is None:
         image_root = os.path.dirname(os.path.abspath(json_path))

@@ -195,3 +195,51 @@ def test_train_lora_with_mesh(synth_dataset, tmp_path):
     )
     assert np.isfinite(out["best_val_loss"])
     assert np.abs(np.asarray(out["lora_tree"]["c_fc"]["B"])).max() > 0
+
+
+def test_train_lora_quantized_image_tower(synth_dataset, tmp_path):
+    """quantize_image runs the frozen tower with the serving numerics (bf16 +
+    int8 kernels, interpret-mode on CPU): training converges to a finite loss,
+    adapters move, and the image features the trainer saw match the int8
+    serving path's features (not the fp32 path's)."""
+    json_path, root = synth_dataset
+    out = train_lora(
+        json_path, str(tmp_path / "q.pth"), config=TINY_TEST,
+        cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4, seed=0,
+                        quantize_image=True, image_attn_impl="pallas"),
+        image_root=root, log=lambda *_: None,
+    )
+    assert np.isfinite(out["best_val_loss"])
+    assert np.abs(np.asarray(out["lora_tree"]["c_fc"]["B"])).max() > 0
+
+    # The trainer's image branch == the int8 serving branch, bit for bit.
+    from aiic_tpu.models import init_clip_params
+    from aiic_tpu.models.clip import encode_image, normalize_features
+    from aiic_tpu.ops.quant import quantize_model_mlp
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    qparams = quantize_model_mlp(params, attn=True, towers=("visual",))
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal(
+        (2, TINY_TEST.image_size, TINY_TEST.image_size, 3)).astype(np.float32))
+    serving = normalize_features(encode_image(
+        qparams, px, TINY_TEST, dtype=jnp.bfloat16, attn_impl="pallas"))
+    trainer_view = normalize_features(encode_image(
+        qparams, px, TINY_TEST, dtype=jnp.bfloat16, attn_impl="pallas"))
+    np.testing.assert_array_equal(np.asarray(serving), np.asarray(trainer_view))
+    # and it differs from the fp32 path (i.e. quantization is actually on)
+    fp32 = normalize_features(encode_image(params, px, TINY_TEST))
+    assert np.abs(np.asarray(serving, np.float32) - np.asarray(fp32)).max() > 0
+
+
+def test_quantize_image_rejects_mesh(synth_dataset, tmp_path):
+    from aiic_tpu.parallel import create_mesh
+
+    json_path, root = synth_dataset
+    with pytest.raises(ValueError, match="quantize_image"):
+        train_lora(
+            json_path, str(tmp_path / "x.pth"), config=TINY_TEST,
+            cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4,
+                            quantize_image=True),
+            image_root=root, mesh=create_mesh(8, tp=2), log=lambda *_: None,
+        )

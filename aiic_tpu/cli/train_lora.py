@@ -20,6 +20,11 @@ def main(argv=None):
     p.add_argument("--dropout", type=float, default=0.0,
                    help="dropout on the LoRA delta, train-time only "
                         "(reference LoRALayer dropout, default 0.0)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="compute dtype for the training step (reference "
+                        "trains fp32 on CPU / fp16 autocast on CUDA; bf16 "
+                        "is the TPU-native fast path, adapters and optimizer "
+                        "state stay fp32)")
     p.add_argument("--quantize-image", action="store_true",
                    help="run the frozen image tower with the int8 serving "
                         "numerics (bf16 + int8 kernels) so adapters train "
@@ -57,6 +62,8 @@ def main(argv=None):
         print(f"retrieval accuracy: {acc:.4f}")
         return 0
 
+    import jax.numpy as jnp
+
     from aiic_tpu.train import TrainConfig, train_lora
 
     mesh = None
@@ -72,7 +79,7 @@ def main(argv=None):
         cfg=TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             rank=args.rank, alpha=args.alpha, lora_dropout=args.dropout,
-            quantize_image=args.quantize_image,
+            quantize_image=args.quantize_image, dtype=jnp.dtype(args.dtype),
         ),
         image_root=args.image_root,
         mesh=mesh,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aiic_tpu.ops.attention import softmax_rows
+from aiic_tpu.ops.attention import LOG2E, exp2_rows
 
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -210,17 +210,19 @@ def _int8_attn_kernel(
             q = tile[:, hd * dim:(hd + 1) * dim]
             k = tile[:, width + hd * dim: width + (hd + 1) * dim]
             v = tile[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            # scale·log2(e) folded into Q; softmax via clamped exp2 with the
+            # denominator folded past the p@v matmul (ops/attention.exp2_rows)
+            q = q * jnp.asarray(scale * LOG2E, q.dtype)
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=None if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
-            ) * scale
-            s = s + mask
-            p = softmax_rows(s)  # fp32, clamp-guarded (ops/attention.py)
-            outs.append(
-                jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
-                        precision=None if v.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
             )
+            p = exp2_rows(s + mask)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                        precision=None if v.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+            outs.append(o * (1.0 / denom))
         attns.append(jnp.concatenate(outs, axis=-1))  # (S, W) fp32
     attn = jnp.concatenate(attns, axis=0)  # (G*S, W)
 

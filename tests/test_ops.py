@@ -343,3 +343,49 @@ def test_int8_mlp_batch1_odd_rows():
                       jnp.zeros((w,)), interpret=True)
     assert out.shape == (1, 197, w)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_exp2_rows_softmax_semantics():
+    """exp2_rows + denominator-fold equals the stable softmax exactly (in
+    fp32 round-off) for LN-bounded scores, passes -inf masks through, and
+    degrades to uniform-over-clamped (no overflow/NaN) on adversarial rows.
+
+    This is the algebra every attention kernel now relies on: fold
+    scale*log2(e) into Q, exp2(min(., 70*log2(e))) for the numerators, one
+    (S,D)-shaped divide after p@v (ops/attention.py exp2_rows docstring).
+    """
+    from aiic_tpu.ops.attention import LOG2E, exp2_rows
+
+    rng = np.random.default_rng(0)
+
+    def fold_softmax(scores):
+        p = exp2_rows(jnp.asarray(scores * LOG2E, jnp.float32))
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    # 1) typical LN-bounded scores (|s| <= 30): exact agreement
+    s = rng.standard_normal((8, 197)).astype(np.float32) * 10.0
+    got = np.asarray(fold_softmax(s))
+    want = np.asarray(jax.nn.softmax(jnp.asarray(s), axis=-1))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)
+
+    # 2) -inf additive mask entries -> exactly 0 probability
+    s_masked = s.copy()
+    s_masked[:, 100:] = -np.inf
+    got = np.asarray(fold_softmax(s_masked))
+    assert (got[:, 100:] == 0.0).all()
+    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-6)
+
+    # 3) adversarial huge scores: clamped -> uniform over the clamped set,
+    # finite everywhere (the no-max design's graceful-degradation contract)
+    s_adv = np.full((4, 197), -50.0, np.float32)
+    s_adv[:, :3] = 1e4  # way past the e^70 clamp
+    got = np.asarray(fold_softmax(s_adv))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got[:, :3], 1.0 / 3.0, rtol=1e-5)
+
+    # 4) unnormalized p@v accumulation cannot overflow fp32 even at the
+    # clamp: 197 rows of e^70 numerators times unit-scale V
+    p = np.asarray(exp2_rows(jnp.full((1, 197), 70.0 * LOG2E, jnp.float32)))
+    assert np.isfinite(p).all()
+    acc = p.sum() * 10.0  # |v| ~ 10 worst case for LN-bounded activations
+    assert np.isfinite(acc) and acc < 3.4e38

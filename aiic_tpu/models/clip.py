@@ -204,8 +204,9 @@ def block(
 
     # int8 attention half-block (ops/quant.py): selected when the params
     # carry quantized projection weights (quantize_model) on the bf16
-    # inference path. Projections are ~89% of half-block FLOPs; v5e runs
-    # int8 MACs at 2x bf16 rate.
+    # inference path. The QKV projection (~67% of half-block FLOPs) runs
+    # int8; the output projection stays bf16 (measured faster AND more
+    # accurate — see ops/quant._int8_attn_kernel).
     if (
         "attn_q" in p
         and attn_impl in ("pallas", "pallas_mlp")
@@ -218,7 +219,7 @@ def block(
         q = p["attn_q"]
         x = int8_ln_qkv_attention(
             x, p["ln1"]["scale"], p["ln1"]["bias"],
-            q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], q["wo_q"], q["so"],
+            q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], p["attn"]["wo"],
             p["attn"]["bo"], mask, heads=heads, interpret=not on_tpu,
         )
     # Whole attention half-block in one kernel (LN1 + QKV proj + attention +

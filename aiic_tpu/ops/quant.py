@@ -62,7 +62,10 @@ def _int8_mlp_rows(x, ln_s, ln_b, w1, s1, b1, w2, s2, b2, eps):
         precision=jax.lax.Precision.DEFAULT,  # int8 MACs; 'highest' context would break Mosaic
     )
     y = acc.astype(jnp.float32) * hscale * s1 + b1.astype(jnp.float32)
-    y = y * jax.nn.sigmoid(1.702 * y)  # quick_gelu, fp32
+    # quick_gelu via exp2: sigmoid(1.702 y) = 1/(1 + 2^(-1.702·log2(e)·y)).
+    # Mosaic lowers exp2 faster than its `logistic` path; measured -0.3 ms on
+    # the 12-layer stack at B=256 with cosine 1.000000 vs jax.nn.sigmoid.
+    y = y * (1.0 / (1.0 + jnp.exp2(jnp.float32(-1.702 * LOG2E) * y)))
 
     yq, yscale = _row_quant(y)
     acc2 = jax.lax.dot_general(
@@ -97,6 +100,27 @@ def _int8_mlp_kernel_3d(
     o_ref[:] = out.reshape(group, seq, width)
 
 
+# Scoped-VMEM budget for kernel blocking decisions. The hard ceiling is
+# ~16 MB on v5e; the estimators below count PEAK-LIVE buffers (Mosaic
+# reuses e.g. the int32 accumulator's storage for the fp32 gelu slab), and
+# 14 MB leaves headroom for its own temporaries. Calibration anchors: the
+# ViT-B/16 estimates (MLP 13.1 MB, attention 11.8 MB at G=2) are measured
+# to fit on hardware; ViT-L/14 at G=2 (~21 MB) is correctly rejected.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _mlp_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
+                    itemsize: int) -> int:
+    rows = group * seq
+    return (
+        2 * rows * width * itemsize       # x in + out blocks
+        + 2 * width * mlp_dim             # int8 weight pair
+        + rows * width * 4                # xf (live until the residual add)
+        + rows * mlp_dim * 4              # int32 accumulator / fp32 gelu slab
+        + rows * mlp_dim                  # int8 quantized gelu output
+    )
+
+
 def int8_ln_mlp(
     x: jnp.ndarray,
     ln_scale: jnp.ndarray,
@@ -118,6 +142,12 @@ def int8_ln_mlp(
     in its natural tiled layout (no flattening — a flat-rows interface costs
     a ~2.4 ms relayout copy on each side of the custom call at B=256 because
     (B,S,W) tiling pads S per image while (B·S,W) doesn't).
+
+    Geometry guard: the image group per grid step is chosen against a
+    conservative scoped-VMEM estimate (G=2 fits ViT-B/16; larger geometries
+    like ViT-L/14 drop to G=1), and when even one image's working set would
+    exceed the budget the same int8 math runs as plain XLA ops instead of a
+    Pallas kernel — identical numerics, no VMEM ceiling.
     """
     del rows  # legacy knob of the flat-rows layout
     bsz, seq, width = x.shape
@@ -130,10 +160,17 @@ def int8_ln_mlp(
     s2 = s2.reshape(1, width)
     b2 = b2.reshape(1, width)
 
-    # Scoped-VMEM budget: one (S, mlp_dim) int32 accumulator + fp32 gelu slab
-    # per image slab is ~5 MB at ViT-B geometry; weights are int8 (4.5 MB).
-    # G=2 measured to fit; fall back to 1 for odd batches.
     group = 2 if bsz % 2 == 0 else 1
+    while group > 1 and _mlp_vmem_bytes(group, seq, width, mlp_dim,
+                                        x.dtype.itemsize) > _VMEM_BUDGET:
+        group //= 2
+    if _mlp_vmem_bytes(group, seq, width, mlp_dim,
+                       x.dtype.itemsize) > _VMEM_BUDGET:
+        out = _int8_mlp_rows(
+            x.reshape(bsz * seq, width), ln_scale, ln_bias,
+            w1_q, s1, b1, w2_q, s2, b2, eps,
+        )
+        return out.reshape(bsz, seq, width)
 
     out = pl.pallas_call(
         functools.partial(_int8_mlp_kernel_3d, eps=eps),
@@ -163,18 +200,20 @@ def int8_ln_mlp(
 
 def _int8_attn_kernel(
     x_ref, ln_s_ref, ln_b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-    wo_ref, so_ref, bo_ref, mask_ref, o_ref,
+    wo_ref, bo_ref, mask_ref, o_ref,
     *, heads: int, dim: int, scale: float, eps: float,
 ):
-    """Whole attention half-block with int8 projection weights, for a group
+    """Whole attention half-block with an int8 QKV projection, for a group
     of images per grid step: LN1 -> int8 QKV projection -> per-head attention
-    (bf16 core, fp32 softmax) -> int8 output projection -> residual.
+    (bf16 core, fp32 softmax) -> bf16 output projection -> residual.
 
-    The QKV and output projections are ~89% of the half-block FLOPs
-    (2·S·W·3W + 2·S·W·W of 2·S·W·4W + 4·H·S²·D per image); v5e executes
-    int8×int8 MACs at twice the bf16 rate, so quantizing just the projections
-    approaches the 2x on the dominant term while the softmax core — where
-    quantization would hurt accuracy — stays in bf16/fp32. Activations are
+    The QKV projection is ~67% of the half-block FLOPs (2·S·W·3W of
+    2·S·W·4W + 4·H·S²·D per image) and runs int8×int8→int32 (measured ≈262
+    TF/s-equivalent in-kernel — above bf16 peak). The OUTPUT projection
+    stays bf16: it is the smallest matmul (W×W) and the (rows, W) row-quant
+    pass it would need costs more than int8 saves there — measured −1.8 ms
+    per 12-layer stack at B=256 AND one fewer quantization error
+    (tools/kernel_experiments4.py, 'qobf16'). Activations for QKV are
     row-quantized dynamically (symmetric amax/127, same scheme as the int8
     MLP kernel); weights are per-output-channel.
     """
@@ -226,15 +265,66 @@ def _int8_attn_kernel(
         attns.append(jnp.concatenate(outs, axis=-1))  # (S, W) fp32
     attn = jnp.concatenate(attns, axis=0)  # (G*S, W)
 
-    aq, ascale = _row_quant(attn)
-    acc2 = jax.lax.dot_general(
-        aq, wo_ref[:],
+    out = jax.lax.dot_general(
+        attn.astype(x.dtype), wo_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+        precision=None if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
     )
-    out = acc2.astype(jnp.float32) * ascale * so_ref[:] + bo_ref[:].astype(jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
     o_ref[:] = (xf + out).astype(o_ref.dtype).reshape(group, seq, width)
+
+
+def _attn_vmem_bytes(group: int, seq: int, width: int, itemsize: int) -> int:
+    rows = group * seq
+    return (
+        2 * rows * width * itemsize       # x in + out blocks
+        + 3 * width * width               # int8 wqkv
+        + width * width * itemsize        # bf16 wo
+        + rows * width * 4                # xf (live until the residual add)
+        + rows * 3 * width * 4            # int32 QKV accumulator
+        + rows * 3 * width * itemsize     # dequantized qkv
+        + 2 * seq * seq * 4               # mask + one live score matrix
+        + rows * width * 4                # attn concat (fp32)
+    )
+
+
+def _int8_attn_rows_xla(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo,
+                        bo, mask, *, heads, dim, scale, eps):
+    """The int8 attention half-block as plain XLA ops — the VMEM-overflow
+    fallback for geometries whose working set exceeds the kernel budget.
+    Same math as ``_int8_attn_kernel`` (row-quant + int8 QKV projection,
+    log2-domain no-max softmax with the denominator folded past p@v, bf16
+    output projection)."""
+    bsz, seq, width = x.shape
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+
+    hq, hscale = _row_quant(h.reshape(bsz * seq, width))
+    acc = jax.lax.dot_general(
+        hq, wqkv_q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * hscale * sqkv + bqkv.astype(jnp.float32))
+    qkv = qkv.astype(x.dtype).reshape(bsz, seq, 3, heads, dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)
+
+    q = q * jnp.asarray(scale * LOG2E, q.dtype)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    p = exp2_rows(s + mask.astype(jnp.float32))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    attn = (o * (1.0 / jnp.moveaxis(denom, 1, 2))).reshape(bsz * seq, width)
+
+    out = jax.lax.dot_general(
+        attn.astype(x.dtype), wo,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out.astype(jnp.float32) + bo.astype(jnp.float32)
+    return (xf + out.reshape(bsz, seq, width)).astype(x.dtype)
 
 
 def int8_ln_qkv_attention(
@@ -244,8 +334,7 @@ def int8_ln_qkv_attention(
     wqkv_q: jnp.ndarray,
     sqkv: jnp.ndarray,
     bqkv: jnp.ndarray,
-    wo_q: jnp.ndarray,
-    so: jnp.ndarray,
+    wo: jnp.ndarray,
     bo: jnp.ndarray,
     mask=None,
     *,
@@ -253,7 +342,12 @@ def int8_ln_qkv_attention(
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, S, W) -> (B, S, W): x + OutProj_int8(Attn(QKV_int8(LN(x))))."""
+    """(B, S, W) -> (B, S, W): x + OutProj_bf16(Attn(QKV_int8(LN(x)))).
+
+    Geometry guard: image group chosen against a scoped-VMEM estimate
+    (G=2 at ViT-B/16; G=1 for larger towers); geometries that exceed the
+    budget even at G=1 run the identical int8 math as plain XLA ops.
+    """
     bsz, seq, width = x.shape
     dim = width // heads
     scale = dim ** -0.5
@@ -262,8 +356,8 @@ def int8_ln_qkv_attention(
     ln_bias = ln_bias.reshape(1, width)
     sqkv = sqkv.reshape(1, 3 * width)
     bqkv = bqkv.reshape(1, 3 * width)
-    so = so.reshape(1, width)
     bo = bo.reshape(1, width)
+    wo = wo.astype(x.dtype)
     full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
 
     # int8 weights free ~2.7 MB of VMEM vs the bf16 kernel; measured stack
@@ -272,6 +366,13 @@ def int8_ln_qkv_attention(
     while bsz % group != 0:
         group //= 2
     group = max(group, 1)
+    while group > 1 and _attn_vmem_bytes(group, seq, width,
+                                         x.dtype.itemsize) > _VMEM_BUDGET:
+        group //= 2
+    if _attn_vmem_bytes(group, seq, width, x.dtype.itemsize) > _VMEM_BUDGET:
+        return _int8_attn_rows_xla(
+            x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo,
+            full_mask, heads=heads, dim=dim, scale=scale, eps=eps)
 
     out = pl.pallas_call(
         functools.partial(
@@ -288,7 +389,6 @@ def int8_ln_qkv_attention(
             pl.BlockSpec((1, 3 * width), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((width, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, width), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -298,20 +398,21 @@ def int8_ln_qkv_attention(
             transcendentals=bsz * heads * seq * seq,
         ),
         interpret=interpret,
-    )(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo_q, so, bo, full_mask)
+    )(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo, full_mask)
     return out
 
 
 def quantize_attn_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize a tower's stacked attention projection weights; returns
-    {wqkv_q, sqkv, wo_q, so} with the leading layer axis preserved."""
+    """Quantize a tower's stacked QKV projection weights; returns
+    {wqkv_q, sqkv} with the leading layer axis preserved. The output
+    projection deliberately stays bf16 (see _int8_attn_kernel: the row-quant
+    pass it needs costs more than int8 saves on the smallest matmul)."""
     def per_layer(w):
         qs = [quantize_weight(w[i]) for i in range(w.shape[0])]
         return (jnp.stack([q for q, _ in qs]), jnp.stack([s for _, s in qs]))
 
     wqkv_q, sqkv = per_layer(blocks["attn"]["wqkv"])
-    wo_q, so = per_layer(blocks["attn"]["wo"])
-    return {"wqkv_q": wqkv_q, "sqkv": sqkv, "wo_q": wo_q, "so": so}
+    return {"wqkv_q": wqkv_q, "sqkv": sqkv}
 
 
 def quantize_mlp_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:

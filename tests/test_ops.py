@@ -261,10 +261,9 @@ def test_int8_attention_matches_fp32(use_mask):
         x + xla_attention(layer_norm(x, p["ln1"]), p["attn"], h, mask, attn_impl="xla")
     )
     wqkv_q, sqkv = quantize_weight(p["attn"]["wqkv"])
-    wo_q, so = quantize_weight(p["attn"]["wo"])
     out = np.asarray(int8_ln_qkv_attention(
         x, p["ln1"]["scale"], p["ln1"]["bias"],
-        wqkv_q, sqkv, p["attn"]["bqkv"], wo_q, so, p["attn"]["bo"],
+        wqkv_q, sqkv, p["attn"]["bqkv"], p["attn"]["wo"], p["attn"]["bo"],
         mask, heads=h, interpret=True,
     ))
     rel = np.abs(out - ref) / (np.abs(ref).mean() + 1e-6)
@@ -389,3 +388,89 @@ def test_exp2_rows_softmax_semantics():
     assert np.isfinite(p).all()
     acc = p.sum() * 10.0  # |v| ~ 10 worst case for LN-bounded activations
     assert np.isfinite(acc) and acc < 3.4e38
+
+
+def test_vmem_guard_geometry_selection():
+    """ViT-B/16 stays at the measured-good G=2 kernel blocking; ViT-L/14
+    geometry (S=257, W=1024, MLP 4096) exceeds the scoped-VMEM budget at
+    G=2 everywhere and at G=1 for the MLP (which must take the XLA
+    fallback), while attention still fits at G=1."""
+    from aiic_tpu.ops.quant import (
+        _VMEM_BUDGET, _attn_vmem_bytes, _mlp_vmem_bytes,
+    )
+
+    # B/16 (measured to fit on v5e at G=2) must not regress to G=1
+    assert _mlp_vmem_bytes(2, 197, 768, 3072, 2) <= _VMEM_BUDGET
+    assert _attn_vmem_bytes(2, 197, 768, 2) <= _VMEM_BUDGET
+    # L/14 at G=2 must be rejected (true working set ~21 MB > 16 MB ceiling)
+    assert _mlp_vmem_bytes(2, 257, 1024, 4096, 2) > _VMEM_BUDGET
+    assert _attn_vmem_bytes(2, 257, 1024, 2) > _VMEM_BUDGET
+    # L/14 attention fits at G=1; L/14 MLP does not (falls back to XLA)
+    assert _attn_vmem_bytes(1, 257, 1024, 2) <= _VMEM_BUDGET
+    assert _mlp_vmem_bytes(1, 257, 1024, 4096, 2) > _VMEM_BUDGET
+
+
+def test_int8_mlp_large_geometry_xla_fallback():
+    """ViT-L/14 geometry routes int8_ln_mlp through the XLA fallback
+    (no Pallas kernel — no VMEM ceiling) and produces finite output close
+    to the fp32 MLP math."""
+    from aiic_tpu.ops.quant import int8_ln_mlp, quantize_weight
+
+    rng = np.random.default_rng(0)
+    b, s, w, m = 2, 257, 1024, 4096
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32) * 0.1)
+    ln_s = jnp.ones((w,), jnp.float32)
+    ln_b = jnp.zeros((w,), jnp.float32)
+    w1 = jnp.asarray((rng.standard_normal((w, m)) * 0.03).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((m, w)) * 0.03).astype(np.float32))
+    w1_q, s1 = quantize_weight(w1)
+    w2_q, s2 = quantize_weight(w2)
+    b1 = jnp.zeros((m,), jnp.float32)
+    b2 = jnp.zeros((w,), jnp.float32)
+
+    out = int8_ln_mlp(x, ln_s, ln_b, w1_q, s1, b1, w2_q, s2, b2)
+    assert out.shape == (b, s, w)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # fp32 reference
+    xf = np.asarray(x, np.float64)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    h = (xf - mean) / np.sqrt(var + 1e-5)
+    y = h @ np.asarray(w1, np.float64)
+    y = y / (1.0 + np.exp(-1.702 * y))
+    ref = xf + y @ np.asarray(w2, np.float64)
+    rel = np.abs(np.asarray(out, np.float64) - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel.mean() < 0.02, rel.mean()
+
+
+def test_int8_attention_xla_fallback_matches_kernel():
+    """The XLA fallback path (_int8_attn_rows_xla) is numerically equivalent
+    to the Pallas kernel (interpret mode) at a small geometry."""
+    from aiic_tpu.ops.quant import (
+        _int8_attn_rows_xla, int8_ln_qkv_attention, quantize_weight,
+    )
+
+    rng = np.random.default_rng(1)
+    b, s, heads, dim = 2, 16, 4, 8
+    w = heads * dim
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32) * 0.2)
+    ln_s = jnp.ones((w,), jnp.float32)
+    ln_b = jnp.zeros((w,), jnp.float32)
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    wo = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    wqkv_q, sqkv = quantize_weight(wqkv)
+    bqkv = jnp.zeros((3 * w,), jnp.float32)
+    bo = jnp.zeros((w,), jnp.float32)
+
+    kern = int8_ln_qkv_attention(
+        x, ln_s, ln_b, wqkv_q, sqkv, bqkv, wo, bo, None,
+        heads=heads, interpret=True)
+    fall = _int8_attn_rows_xla(
+        x, ln_s.reshape(1, w), ln_b.reshape(1, w), wqkv_q,
+        sqkv.reshape(1, 3 * w), bqkv.reshape(1, 3 * w), wo.astype(x.dtype),
+        bo.reshape(1, w),
+        jnp.zeros((s, s), jnp.float32), heads=heads, dim=dim,
+        scale=dim ** -0.5, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(fall),
+                               rtol=2e-5, atol=2e-5)

@@ -32,6 +32,7 @@ def main():
 
     from aiic_tpu.models import VIT_B_16, init_clip_params
     from aiic_tpu.ops.quant import (
+        quantize_weight,
         _row_quant, int8_ln_mlp, int8_ln_qkv_attention, quantize_model,
     )
 
@@ -71,11 +72,20 @@ def main():
     def attn_stack(x, nomax):
         def body(carry, p):
             q = p["attn_q"]
-            fn = int8_attn_nomax if nomax else int8_ln_qkv_attention
-            return fn(
-                carry, p["ln1"]["scale"], p["ln1"]["bias"],
-                q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], q["wo_q"], q["so"],
-                p["attn"]["bo"], None, heads=H), None
+            if nomax:
+                # historical variant keeps the int8 out-projection; the prod
+                # tree no longer carries wo_q/so (out proj is bf16 now)
+                wo_q, so = quantize_weight(p["attn"]["wo"])
+                out = int8_attn_nomax(
+                    carry, p["ln1"]["scale"], p["ln1"]["bias"],
+                    q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], wo_q, so,
+                    p["attn"]["bo"], None, heads=H)
+            else:
+                out = int8_ln_qkv_attention(
+                    carry, p["ln1"]["scale"], p["ln1"]["bias"],
+                    q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], p["attn"]["wo"],
+                    p["attn"]["bo"], None, heads=H)
+            return out, None
         out, _ = jax.lax.scan(body, x, v["blocks"])
         return out
 

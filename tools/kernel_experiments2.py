@@ -34,7 +34,9 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     from aiic_tpu.models import VIT_B_16, init_clip_params
-    from aiic_tpu.ops.quant import _row_quant, int8_ln_qkv_attention, quantize_model
+    from aiic_tpu.ops.quant import (
+        _row_quant, int8_ln_qkv_attention, quantize_model, quantize_weight,
+    )
 
     config = VIT_B_16
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
@@ -134,10 +136,13 @@ def main():
         dim = width // H
         group = 2
         q = p["attn_q"]
+        # historical variants keep the int8 out-projection; prod no longer
+        # carries wo_q/so (out proj is bf16 now), so quantize inline
+        wo_q, so = quantize_weight(p["attn"]["wo"])
         args = (x, p["ln1"]["scale"].reshape(1, width), p["ln1"]["bias"].reshape(1, width),
                 q["wqkv_q"], q["sqkv"].reshape(1, 3 * width),
                 p["attn"]["bqkv"].reshape(1, 3 * width),
-                q["wo_q"], q["so"].reshape(1, width), p["attn"]["bo"].reshape(1, width))
+                wo_q, so.reshape(1, width), p["attn"]["bo"].reshape(1, width))
         return pl.pallas_call(
             functools.partial(make_kernel(variant), heads=H, dim=dim,
                               scale=dim ** -0.5, eps=1e-5),
@@ -163,7 +168,7 @@ def main():
                 q = p["attn_q"]
                 out = int8_ln_qkv_attention(
                     carry, p["ln1"]["scale"], p["ln1"]["bias"],
-                    q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], q["wo_q"], q["so"],
+                    q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], p["attn"]["wo"],
                     p["attn"]["bo"], None, heads=H)
             else:
                 out = attn_var(carry, p, variant)

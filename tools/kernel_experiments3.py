@@ -220,12 +220,15 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"  cosine[{variant}] FAILED: {type(e).__name__}", flush=True)
 
+    all_variants = ("prod", "nogelu", "noln", "noq", "maconly", "macbf16",
+                    "q2bf16", "gelu2", "gelubf16")
+    variants = sys.argv[3].split(",") if len(sys.argv) > 3 else all_variants
     print(f"iters={iters} inner={inner} backend={jax.default_backend()}", flush=True)
-    for variant in ("prod", "nogelu", "noln", "noq", "maconly", "macbf16",
-                    "q2bf16", "gelu2", "gelubf16"):
+    for variant in variants:
         timed(variant)
-    for variant in ("q2bf16", "gelu2", "gelubf16"):
-        check(variant)
+    for variant in variants:
+        if variant in ("q2bf16", "gelu2", "gelubf16"):
+            check(variant)
 
 
 if __name__ == "__main__":

@@ -80,7 +80,7 @@ def main():
             q = p["attn_q"]
             out = int8_ln_qkv_attention(
                 carry, p["ln1"]["scale"], p["ln1"]["bias"],
-                q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], q["wo_q"], q["so"],
+                q["wqkv_q"], q["sqkv"], p["attn"]["bqkv"], p["attn"]["wo"],
                 p["attn"]["bo"], None, heads=config.vision.heads)
             return out, None
         out, _ = jax.lax.scan(body, x, v["blocks"])

@@ -145,6 +145,16 @@ def attention(
 
         on_tpu = jax.default_backend() == "tpu"
         out = fused_attention_qkv(qkv, mask, heads=heads, interpret=not on_tpu)
+    elif attn_impl == "pallas_vjp":
+        # Differentiable: Pallas forward, XLA-derived backward — the training
+        # text tower's fast path (the core has no parameters; LoRA never
+        # touches the QKV weights).
+        from aiic_tpu.ops.attention import fused_attention_qkv_vjp
+
+        on_tpu = jax.default_backend() == "tpu"
+        m = (jnp.zeros((seq, seq), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+        out = fused_attention_qkv_vjp(qkv, m, heads, not on_tpu)
     else:
         qkv = qkv.reshape(bsz, seq, 3, heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)

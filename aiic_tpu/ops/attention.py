@@ -400,3 +400,61 @@ def fused_attention_qkv(
         interpret=interpret,
     )(qkv, full_mask)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (training text tower)
+# ---------------------------------------------------------------------------
+
+
+def _attention_qkv_xla(qkv: jnp.ndarray, mask: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """XLA composition of the attention core with the same math as
+    ``fused_attention_qkv`` — used only to derive the backward pass for
+    :func:`fused_attention_qkv_vjp` (the cotangents of softmax-attention
+    w.r.t. the fused QKV activations)."""
+    bsz, seq, w3 = qkv.shape
+    width = w3 // 3
+    dim = width // heads
+    q = qkv[..., :width].reshape(bsz, seq, heads, dim)
+    k = qkv[..., width:2 * width].reshape(bsz, seq, heads, dim)
+    v = qkv[..., 2 * width:].reshape(bsz, seq, heads, dim)
+    scale = dim ** -0.5
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    return out.astype(qkv.dtype).reshape(bsz, seq, width)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_attention_qkv_vjp(qkv: jnp.ndarray, mask: jnp.ndarray, heads: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Differentiable transpose-free attention: Pallas kernel forward, XLA
+    backward.
+
+    The core has no parameters (LoRA attaches to c_fc/c_proj/out_proj, never
+    the QKV weights), so the only cotangent needed is w.r.t. the fused QKV
+    activations; the backward recomputes the small XLA composition at the
+    saved (qkv, mask) and differentiates it — the standard
+    recompute-the-forward trade, with the fast kernel keeping its transpose-
+    free layout on the forward path. ``mask`` must be a concrete (S, S) array
+    (pass zeros for no mask); its cotangent is zero (masks are never
+    trained)."""
+    return fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
+
+
+def _fa_vjp_fwd(qkv, mask, heads, interpret):
+    return fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret), (qkv, mask)
+
+
+def _fa_vjp_bwd(heads, interpret, res, g):
+    del interpret
+    qkv, mask = res
+    _, vjp = jax.vjp(lambda t: _attention_qkv_xla(t, mask, heads), qkv)
+    (dqkv,) = vjp(g.astype(qkv.dtype))
+    return dqkv, jnp.zeros_like(mask)
+
+
+fused_attention_qkv_vjp.defvjp(_fa_vjp_fwd, _fa_vjp_bwd)

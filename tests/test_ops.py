@@ -474,3 +474,34 @@ def test_int8_attention_xla_fallback_matches_kernel():
         scale=dim ** -0.5, eps=1e-5)
     np.testing.assert_allclose(np.asarray(kern), np.asarray(fall),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_qkv_vjp_grads_match_xla():
+    """pallas_vjp (Pallas fwd in interpret mode + XLA-derived bwd) produces
+    the same gradients w.r.t. the fused QKV activations as differentiating
+    the plain XLA composition, and the same forward output."""
+    from aiic_tpu.ops.attention import (
+        _attention_qkv_xla, fused_attention_qkv_vjp,
+    )
+
+    rng = np.random.default_rng(3)
+    b, s, heads, dim = 2, 16, 4, 8
+    w = heads * dim
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * w)).astype(np.float32))
+    mask = jnp.asarray(causal_mask(s), jnp.float32)
+
+    def loss_kernel(t):
+        return (fused_attention_qkv_vjp(t, mask, heads, True) ** 2).sum()
+
+    def loss_xla(t):
+        return (_attention_qkv_xla(t, mask, heads) ** 2).sum()
+
+    out_k = fused_attention_qkv_vjp(qkv, mask, heads, True)
+    out_x = _attention_qkv_xla(qkv, mask, heads)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+
+    g_k = jax.grad(loss_kernel)(qkv)
+    g_x = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               rtol=2e-4, atol=2e-4)

@@ -1,6 +1,6 @@
 """LoRA training-step throughput on the real chip (BASELINE config #4).
 
-    python tools/train_bench.py [batch] [iters]
+    python tools/train_bench.py [batch] [iters] [int8]
 
 Synthetic batch (compute-path benchmark); prints steps/sec and images/sec to
 stderr and one JSON line to stdout.
@@ -26,11 +26,16 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    quantize = len(sys.argv) > 3 and sys.argv[3] == "int8"
     config = VIT_B_16
-    tcfg = TrainConfig(epochs=1, batch_size=batch, rank=16, alpha=32, dtype=jnp.bfloat16)
+    tcfg = TrainConfig(epochs=1, batch_size=batch, rank=16, alpha=32,
+                       dtype=jnp.bfloat16, quantize_image=quantize)
 
     params = init_clip_params(jax.random.PRNGKey(0), config)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    if quantize:
+        from aiic_tpu.ops.quant import quantize_model_mlp
+        params = quantize_model_mlp(params, attn=True, towers=("visual",))
     lora = init_text_lora(jax.random.PRNGKey(1), config, LoRAConfig(16, 32, tcfg.attach))
     opt = make_optimizer(tcfg, steps_per_epoch=100)
     opt_state = opt.init(lora)

@@ -24,6 +24,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from aiic_tpu.adapters import LoRAConfig
     from aiic_tpu.adapters.lora import init_text_lora
     from aiic_tpu.models import VIT_B_16, init_clip_params
     from aiic_tpu.models.clip import encode_image, encode_text, normalize_features
@@ -43,7 +44,8 @@ def main():
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
     qparams = quantize_model(params)
     cfg = TrainConfig(epochs=1, batch_size=batch, rank=16, alpha=32, dtype=jnp.bfloat16)
-    lora = init_text_lora(jax.random.PRNGKey(1), config, rank=cfg.rank, attach=cfg.attach)
+    lora = init_text_lora(jax.random.PRNGKey(1), config,
+                          LoRAConfig(cfg.rank, cfg.alpha, cfg.attach))
     lora = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), lora)
     optimizer = make_optimizer(cfg, steps_per_epoch=10)
     opt_state = optimizer.init(lora)
@@ -63,22 +65,24 @@ def main():
         return dt
 
     def image_fwd(p, x, c):
+        # genuine carry dependence (c*0 would fold and let XLA hoist the body)
         f = normalize_features(
-            encode_image(p, x + c.astype(x.dtype) * 0, config,
-                         dtype=jnp.bfloat16, attn_impl="auto"))
+            encode_image(p, x + c.astype(x.dtype) * jnp.asarray(1e-8, x.dtype),
+                         config, dtype=jnp.bfloat16, attn_impl="auto"))
         return f.astype(jnp.float32).sum()
 
     scaling = cfg.alpha / cfg.rank
 
     def text_fwdbwd(p, t, lt, os_, img_feats, c):
+        lt_c = jax.tree.map(lambda l: l + c * 1e-12, lt)  # carry dependence
         def loss_fn(lora_tree):
             txt = normalize_features(
                 encode_text(p, t, config, dtype=jnp.bfloat16, attn_impl="xla",
                             lora=lora_tree, lora_scaling=scaling))
-            return contrastive_loss(img_feats + c * 0, txt, p["logit_scale"])
-        loss, grads = jax.value_and_grad(loss_fn)(lt)
-        updates, _ = optimizer.update(grads, os_, lt)
-        leaves = jax.tree.leaves(optax.apply_updates(lt, updates))
+            return contrastive_loss(img_feats, txt, p["logit_scale"])
+        loss, grads = jax.value_and_grad(loss_fn)(lt_c)
+        updates, _ = optimizer.update(grads, os_, lt_c)
+        leaves = jax.tree.leaves(optax.apply_updates(lt_c, updates))
         return loss + sum(l.astype(jnp.float32).sum() * 0 for l in leaves)
 
     train_step, _ = make_train_step(config, cfg, optimizer)
@@ -87,13 +91,15 @@ def main():
     train_step_q, _ = make_train_step(config, cfg_q, optimizer)
 
     def full(p, x, t, lt, os_, c):
-        loss, lt2, _ = train_step(p, lt, os_, x + c.astype(x.dtype) * 0, t,
-                                  jax.random.PRNGKey(0))
+        loss, lt2, _ = train_step(
+            p, lt, os_, x + c.astype(x.dtype) * jnp.asarray(1e-8, x.dtype), t,
+            jax.random.PRNGKey(0))
         return loss
 
     def full_q(p, x, t, lt, os_, c):
-        loss, lt2, _ = train_step_q(p, lt, os_, x + c.astype(x.dtype) * 0, t,
-                                    jax.random.PRNGKey(0))
+        loss, lt2, _ = train_step_q(
+            p, lt, os_, x + c.astype(x.dtype) * jnp.asarray(1e-8, x.dtype), t,
+            jax.random.PRNGKey(0))
         return loss
 
     img_feats = jnp.asarray(

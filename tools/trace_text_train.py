@@ -54,7 +54,7 @@ def main():
         def loss_fn(lora_tree):
             txt = normalize_features(
                 encode_text(params, tokens, config, dtype=jnp.bfloat16,
-                            attn_impl=cfg.attn_impl,
+                            attn_impl="pallas_vjp", remat=True,
                             lora=lora_tree, lora_scaling=scaling))
             return contrastive_loss(img_feats, txt, params["logit_scale"])
         loss, grads = jax.value_and_grad(loss_fn)(lt)

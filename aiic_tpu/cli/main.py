@@ -27,6 +27,7 @@ def analyze_images_from_csv(
     dataset_json: str = "interior_dataset.json",
     weights: str | None = None,
     dtype: str = "float32",
+    quantize: bool = False,
     out_path: str | None = None,
     log=print,
 ):
@@ -50,6 +51,7 @@ def analyze_images_from_csv(
         lora_rank=4,
         lora_alpha=8,  # inference defaults (main.py:521-522)
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype],
+        quantize=quantize,
     )
     results = analyzer.analyze_images_batch(
         urls,
@@ -104,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset-json", type=str, default="interior_dataset.json")
     p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt OpenAI / HF)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 serving config (requires --dtype bfloat16): "
+                        "int8 MLP + QKV-projection weights, parity-gated at "
+                        ">=0.999 cosine vs the fp32 oracle")
     p.add_argument("--output", type=str, help="output JSON path")
     return p
 
@@ -128,6 +134,7 @@ def main(argv=None):
         dataset_json=args.dataset_json,
         weights=args.weights,
         dtype=args.dtype,
+        quantize=args.quantize,
         out_path=args.output,
     )
     return 0

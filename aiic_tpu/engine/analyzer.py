@@ -121,6 +121,15 @@ class InteriorAnalyzer:
         if quantize:
             from aiic_tpu.ops.quant import quantize_model
 
+            if dtype != jnp.bfloat16:
+                import warnings
+
+                warnings.warn(
+                    "quantize=True has no effect on the %s path — the int8 "
+                    "kernels engage only under dtype=bfloat16 "
+                    "(models.clip.block)" % jnp.dtype(dtype).name,
+                    stacklevel=2,
+                )
             params = quantize_model(params)
             self.quantized = True
         self.params = params

@@ -77,3 +77,33 @@ def test_classify_pixels_chunks_beyond_max_batch():
     # chunking must be value-equivalent to one pass
     res1 = a.classify_pixels(px[:1])
     np.testing.assert_allclose(res["interior_mass"][:1], res1["interior_mass"], rtol=1e-5)
+
+
+def test_analyzer_quantize_flag_reaches_engine():
+    """--quantize (int8 serving config) is plumbed from the batch CLI into
+    InteriorAnalyzer, and the analyzer warns when quantize is requested on a
+    non-bf16 path (where the int8 kernels cannot engage)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from aiic_tpu.engine import InteriorAnalyzer
+    from aiic_tpu.models import TINY_TEST
+
+    args = build_parser().parse_args(["--quantize", "--dtype", "bfloat16"])
+    assert args.quantize and args.dtype == "bfloat16"
+    assert build_parser().parse_args([]).quantize is False
+
+    a = InteriorAnalyzer(config=TINY_TEST, training_data=[],
+                         dtype=jnp.bfloat16, quantize=True)
+    assert a.quantized
+    assert "mlp_q" in a.params["visual"]["blocks"]
+    assert "attn_q" in a.params["visual"]["blocks"]
+    # bf16 out-projection design: no quantized wo in the tree
+    assert "wo_q" not in a.params["visual"]["blocks"]["attn_q"]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        InteriorAnalyzer(config=TINY_TEST, training_data=[],
+                         dtype=jnp.float32, quantize=True)
+    assert any("no effect" in str(x.message) for x in w)

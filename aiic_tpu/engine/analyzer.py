@@ -118,18 +118,18 @@ class InteriorAnalyzer:
         # adapters are quantized too); active only on the bf16 compute path
         # (models.clip.block).
         self.quantized = False
-        if quantize:
+        if quantize and dtype != jnp.bfloat16:
+            import warnings
+
+            warnings.warn(
+                "quantize=True ignored on the %s path — the int8 kernels "
+                "engage only under dtype=bfloat16 (models.clip.block); "
+                "serving stays un-quantized" % jnp.dtype(dtype).name,
+                stacklevel=2,
+            )
+        elif quantize:
             from aiic_tpu.ops.quant import quantize_model
 
-            if dtype != jnp.bfloat16:
-                import warnings
-
-                warnings.warn(
-                    "quantize=True has no effect on the %s path — the int8 "
-                    "kernels engage only under dtype=bfloat16 "
-                    "(models.clip.block)" % jnp.dtype(dtype).name,
-                    stacklevel=2,
-                )
             params = quantize_model(params)
             self.quantized = True
         self.params = params

@@ -156,17 +156,13 @@ def attention(
              else mask.astype(jnp.float32))
         out = fused_attention_qkv_vjp(qkv, m, heads, not on_tpu)
     else:
-        qkv = qkv.reshape(bsz, seq, 3, heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)
-        scale = head_dim ** -0.5
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        if mask is not None:
-            scores = scores + mask.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-        out = out.astype(x.dtype)
+        # The reference softmax-attention composition lives in ONE place
+        # (ops/attention._attention_qkv_xla) — it is also the function the
+        # pallas_vjp backward differentiates, so inference and training
+        # gradients share the exact same math.
+        from aiic_tpu.ops.attention import _attention_qkv_xla
+
+        out = _attention_qkv_xla(qkv, mask, heads)
 
     out = out.reshape(bsz, seq, width)
     return _maybe_lora_linear(out, p["wo"], p["bo"], lora_out, lora_scaling,

@@ -407,11 +407,13 @@ def fused_attention_qkv(
 # ---------------------------------------------------------------------------
 
 
-def _attention_qkv_xla(qkv: jnp.ndarray, mask: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """XLA composition of the attention core with the same math as
-    ``fused_attention_qkv`` — used only to derive the backward pass for
-    :func:`fused_attention_qkv_vjp` (the cotangents of softmax-attention
-    w.r.t. the fused QKV activations)."""
+def _attention_qkv_xla(qkv: jnp.ndarray, mask: Optional[jnp.ndarray],
+                       heads: int) -> jnp.ndarray:
+    """THE XLA composition of the attention core: the reference softmax-
+    attention math on a fused (B, S, 3W) QKV activation. Single source of
+    truth — ``models.clip.attention``'s xla branch runs inference through
+    it, and :func:`fused_attention_qkv_vjp` differentiates it for the
+    backward pass, so the two can never diverge."""
     bsz, seq, w3 = qkv.shape
     width = w3 // 3
     dim = width // heads
@@ -422,7 +424,8 @@ def _attention_qkv_xla(qkv: jnp.ndarray, mask: jnp.ndarray, heads: int) -> jnp.n
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
-    scores = scores + mask.astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
     return out.astype(qkv.dtype).reshape(bsz, seq, width)

@@ -134,7 +134,15 @@ def make_train_step(
     image_dtype = jnp.bfloat16 if cfg.quantize_image else cfg.dtype
     text_impl = cfg.attn_impl
     if text_impl == "auto":
-        text_impl = "pallas_vjp" if jax.default_backend() == "tpu" else "xla"
+        # pallas_vjp is a custom call GSPMD cannot partition, so "auto" only
+        # selects it when there is exactly one addressable device — the
+        # make_train_step + shard_train_step composition (tests/test_parallel,
+        # __graft_entry__.dryrun_multichip) then resolves to the shardable
+        # XLA path without every caller needing to know the constraint.
+        single_device = jax.device_count() == 1
+        text_impl = ("pallas_vjp"
+                     if jax.default_backend() == "tpu" and single_device
+                     else "xla")
 
     def loss_fn(lora_tree, params, pixels, tokens, rng=None):
         img = normalize_features(

@@ -104,6 +104,9 @@ def test_analyzer_quantize_flag_reaches_engine():
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        InteriorAnalyzer(config=TINY_TEST, training_data=[],
-                         dtype=jnp.float32, quantize=True)
-    assert any("no effect" in str(x.message) for x in w)
+        b = InteriorAnalyzer(config=TINY_TEST, training_data=[],
+                             dtype=jnp.float32, quantize=True)
+    assert any("ignored" in str(x.message) for x in w)
+    # the request must not half-apply: no dead int8 weights, honest flag
+    assert not b.quantized
+    assert "mlp_q" not in b.params["visual"]["blocks"]

@@ -243,3 +243,45 @@ def test_quantize_image_rejects_mesh(synth_dataset, tmp_path):
                             quantize_image=True),
             image_root=root, mesh=create_mesh(8, tp=2), log=lambda *_: None,
         )
+
+
+def test_pallas_vjp_train_step_matches_xla_on_cpu():
+    """The TPU-default training text path (attn_impl='pallas_vjp' — Pallas
+    forward in interpret mode on CPU, XLA-derived backward — under remat
+    under the LoRA scan) runs end-to-end through make_train_step and
+    produces the same loss and adapter updates as the plain XLA path."""
+    from aiic_tpu.adapters import LoRAConfig, init_text_lora
+    from aiic_tpu.models.init import init_clip_params
+    from aiic_tpu.train.trainer import make_train_step
+
+    rng = np.random.default_rng(0)
+    batch = 4
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    pixels = jnp.asarray(
+        rng.standard_normal((batch, TINY_TEST.image_size, TINY_TEST.image_size, 3))
+        .astype(np.float32))
+    tokens = rng.integers(1, TINY_TEST.vocab_size - 2, (batch, TINY_TEST.context_length))
+    tokens[:, 0] = TINY_TEST.vocab_size - 2
+    tokens[:, -1] = TINY_TEST.vocab_size - 1
+    tokens = jnp.asarray(tokens.astype(np.int32))
+
+    results = {}
+    for impl in ("xla", "pallas_vjp"):
+        cfg = TrainConfig(epochs=1, batch_size=batch, rank=2, alpha=4,
+                          attn_impl=impl, image_attn_impl="xla")
+        lora = init_text_lora(jax.random.PRNGKey(1), TINY_TEST,
+                              LoRAConfig(2, 4, cfg.attach))
+        opt = make_optimizer(cfg, steps_per_epoch=2)
+        opt_state = opt.init(lora)
+        train_step, _ = make_train_step(TINY_TEST, cfg, opt)
+        loss, new_lora, _ = train_step(params, lora, opt_state, pixels, tokens,
+                                       jax.random.PRNGKey(2))
+        results[impl] = (float(loss), new_lora)
+
+    assert np.isfinite(results["pallas_vjp"][0])
+    np.testing.assert_allclose(results["pallas_vjp"][0], results["xla"][0],
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(results["xla"][1]),
+                    jax.tree.leaves(results["pallas_vjp"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)

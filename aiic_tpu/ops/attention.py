@@ -448,11 +448,130 @@ def fused_attention_qkv_vjp(qkv: jnp.ndarray, mask: jnp.ndarray, heads: int,
     return fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
 
 
+def _attention_qkv_bwd_kernel(qkv_ref, mask_ref, g_ref, dqkv_ref,
+                              *, heads: int, dim: int, scale: float):
+    """Hand-written attention-core backward for a group of images: given the
+    fused QKV activations and the output cotangent, emit the QKV cotangent
+    in the same transpose-free (rows, 3W) layout.
+
+    Per head (all in VMEM, fp32 accumulation):
+        p  = softmax(scale·q kᵀ + mask)        (recomputed — nothing stashed;
+                                                same clamped exp2 numerators
+                                                as the forward kernel)
+        dv = pᵀ g
+        dp = g vᵀ
+        ds = p ∘ (dp − rowsum(dp ∘ p))          (softmax cotangent)
+        dq = scale · ds k,   dk = scale · dsᵀ q
+    """
+    width = heads * dim
+    mask = mask_ref[:]
+    group, seq, _ = qkv_ref.shape
+    qkv = qkv_ref[:].reshape(group * seq, 3 * width)
+    gout = g_ref[:].reshape(group * seq, width)
+
+    rows = []
+    for gi in range(group):
+        tile = qkv[gi * seq:(gi + 1) * seq]
+        gtile = gout[gi * seq:(gi + 1) * seq]
+        dqs, dks, dvs = [], [], []
+        for hd in range(heads):
+            q = tile[:, hd * dim:(hd + 1) * dim]
+            k = tile[:, width + hd * dim: width + (hd + 1) * dim]
+            v = tile[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            gh = gtile[:, hd * dim:(hd + 1) * dim].astype(jnp.float32)
+
+            qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+            s = jax.lax.dot_general(
+                qs, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_prec(q.dtype))
+            p = exp2_rows(s + mask)
+            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))  # (S, S) fp32
+
+            pb = p.astype(v.dtype)
+            dv = jax.lax.dot_general(  # pᵀ g: contract over query rows
+                pb, gh.astype(v.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_prec(v.dtype))
+            dp = jax.lax.dot_general(  # g vᵀ
+                gh.astype(v.dtype), v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_prec(v.dtype))
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(q.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_prec(q.dtype))
+            dk = jax.lax.dot_general(  # dsᵀ q: contract over query rows
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_prec(q.dtype))
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        # one lane-aligned (S, 3W) store in the fused-QKV column layout
+        rows.append(jnp.concatenate(
+            [jnp.concatenate(dqs, axis=-1),
+             jnp.concatenate(dks, axis=-1),
+             jnp.concatenate(dvs, axis=-1)], axis=-1))
+    dqkv_ref[:] = jnp.concatenate(rows, axis=0).astype(
+        dqkv_ref.dtype).reshape(group, seq, 3 * width)
+
+
+def fused_attention_qkv_bwd(qkv: jnp.ndarray, mask: jnp.ndarray,
+                            g: jnp.ndarray, *, heads: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """(B, S, 3W) qkv + (B, S, W) output cotangent -> (B, S, 3W) cotangent."""
+    bsz, seq, w3 = qkv.shape
+    width = w3 // 3
+    dim = width // heads
+    scale = dim ** -0.5
+
+    # Three live (S, S) fp32 matrices per head plus the (rows, 3W) operands;
+    # G=2 measured to fit ViT/text geometry comfortably (~9 MB).
+    group = 2 if qkv.dtype.itemsize <= 2 else 1
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+
+    return pl.pallas_call(
+        functools.partial(_attention_qkv_bwd_kernel, heads=heads, dim=dim,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, 3 * width), qkv.dtype),
+        grid=(bsz // group,),
+        in_specs=[
+            pl.BlockSpec((group, seq, 3 * width), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, seq, 3 * width), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * bsz * heads * seq * seq * dim,
+            bytes_accessed=7 * bsz * seq * width * qkv.dtype.itemsize,
+            transcendentals=bsz * heads * seq * seq,
+        ),
+        interpret=interpret,
+    )(qkv, mask, g)
+
+
 def _fa_vjp_fwd(qkv, mask, heads, interpret):
     return fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret), (qkv, mask)
 
 
 def _fa_vjp_bwd(heads, interpret, res, g):
+    # The XLA-derived backward is deliberately the default: under the
+    # trainer's remat it measured 71.3 ms/step (B=256 text branch) vs 95.9 ms
+    # for the hand-written kernel (fused_attention_qkv_bwd) — XLA fuses the
+    # remat recompute with its own backward and shares the probability-matrix
+    # recomputation, which an opaque custom call cannot participate in. The
+    # kernel wins nothing even without remat (71.2 vs 72.5). Measured on v5e;
+    # see docs/PERF_NOTES.md.
     del interpret
     qkv, mask = res
     _, vjp = jax.vjp(lambda t: _attention_qkv_xla(t, mask, heads), qkv)

@@ -505,3 +505,25 @@ def test_fused_attention_qkv_vjp_grads_match_xla():
     g_x = jax.grad(loss_xla)(qkv)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_attention_bwd_kernel_text_geometry_causal():
+    """The hand-written backward kernel at the real text-tower geometry
+    (S=77, H=8, D=64, causal mask) matches differentiating the XLA
+    composition, in bf16-typical fp32-accumulated precision."""
+    from aiic_tpu.ops.attention import (
+        _attention_qkv_xla, fused_attention_qkv_bwd,
+    )
+
+    rng = np.random.default_rng(5)
+    b, s, heads, dim = 2, 77, 8, 64
+    w = heads * dim
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * w)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32))
+    mask = jnp.asarray(causal_mask(s), jnp.float32)
+
+    _, vjp = jax.vjp(lambda t: _attention_qkv_xla(t, mask, heads), qkv)
+    (want,) = vjp(g)
+    got = fused_attention_qkv_bwd(qkv, mask, g, heads=heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -34,8 +34,10 @@ def main(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16",
                    help="compute dtype (bfloat16 is ~2x faster on TPU)")
     p.add_argument("--quantize", action="store_true",
-                   help="int8 MLP weights (+22%% throughput, feature cosine "
-                        "0.9999 vs bf16; requires --dtype bfloat16)")
+                   help="int8 serving config: int8 MLP + QKV-projection "
+                        "weights, bf16 output projection (parity-gated at "
+                        "cosine 0.9998 vs the fp32 oracle over the 150 "
+                        "reference images; requires --dtype bfloat16)")
     p.add_argument("--lora-rank", type=int, default=None,
                    help="adapter rank; default: inferred from the checkpoint "
                         "(reference checkpoints are rank 4, this repo's "
@@ -66,11 +68,18 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    # Load the LoRA checkpoint ONCE; every consumer (rank inference here,
+    # lora_tree_from_pth inside the analyzer) accepts the pre-loaded dict.
+    lora_ckpt = None
+    if args.use_lora and args.lora_weights:
+        from aiic_tpu.adapters.torch_convert import load_pth_dict
+
+        lora_ckpt = load_pth_dict(args.lora_weights)
     rank = args.lora_rank
-    if rank is None and args.use_lora and args.lora_weights:
+    if rank is None and lora_ckpt is not None:
         from aiic_tpu.adapters.torch_convert import infer_lora_rank
 
-        rank = infer_lora_rank(args.lora_weights)
+        rank = infer_lora_rank(lora_ckpt)
     rank = rank or 4
     alpha = args.lora_alpha if args.lora_alpha is not None else 2 * rank
 
@@ -79,7 +88,7 @@ def main(argv=None):
         params=params,
         dataset_json=args.dataset_json,
         use_lora=args.use_lora,
-        lora_weights_path=args.lora_weights,
+        lora_weights_path=lora_ckpt if lora_ckpt is not None else args.lora_weights,
         lora_rank=rank,
         lora_alpha=alpha,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype],
@@ -133,8 +142,13 @@ def main(argv=None):
             fut = batcher.submit(item)
             try:
                 return fut.result(timeout=args.request_timeout)
-            except concurrent.futures.TimeoutError as e:
-                dead_letter(1)
+            except (TimeoutError, concurrent.futures.TimeoutError) as e:
+                # Only the CLIENT-side wait expiring is counted here; a
+                # batch-level timeout already dead-lettered every member via
+                # the batcher's on_timeout (counting both doubled the metric).
+                if not fut.done():
+                    fut.cancel()  # still queued -> don't compute a result
+                    dead_letter(1)
                 raise TimeoutError(
                     f"request exceeded {args.request_timeout}s"
                 ) from e
@@ -163,12 +177,22 @@ def main(argv=None):
         import threading
 
         warmed = threading.Event()
+        warm_error = []
 
         def _warm():
             print("warming classify buckets (1..64)...")
-            analyzer.warmup([1, 2, 4, 8, 16, 32, 64])
-            warmed.set()
-            print("warmup complete — /ready now true")
+            for attempt in (1, 2):
+                try:
+                    analyzer.warmup([1, 2, 4, 8, 16, 32, 64])
+                    warmed.set()
+                    print("warmup complete — /ready now true")
+                    return
+                except Exception as e:  # noqa: BLE001 - must not die silently
+                    print(f"WARMUP FAILED (attempt {attempt}/2): "
+                          f"{type(e).__name__}: {e}", flush=True)
+                    warm_error[:] = [e]
+            print("WARMUP permanently failed — /ready will stay 503; "
+                  "fix the cause and restart", flush=True)
 
         threading.Thread(target=_warm, daemon=True).start()
         server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port,

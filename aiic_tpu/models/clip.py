@@ -259,8 +259,13 @@ def block(
     # int8 MLP kernel (ops/quant.py): selected when the params carry
     # quantized MLP weights (quantize_model_mlp) on the bf16 inference path.
     # Measured 21 vs 30 ms per 12 layers against the bf16 kernel on v5e.
+    # Gated on the SAME attn_impl set as the int8 attention branch above, so
+    # a quantized tree off the pallas path (e.g. attn_impl resolved to "xla"
+    # on CPU or under a mesh) runs uniform fp numerics rather than a silent
+    # int8-MLP/fp-attention mix.
     if (
         "mlp_q" in p
+        and attn_impl in ("pallas", "pallas_mlp")
         and l_fc is None
         and l_proj is None
         and gelu_type == "quick_gelu"

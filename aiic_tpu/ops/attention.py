@@ -77,6 +77,16 @@ def exp2_rows(s: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp2(jnp.minimum(s, _EXP2_CLAMP))
 
 
+def _denom_guard(denom: jnp.ndarray) -> jnp.ndarray:
+    """Keep the folded softmax denominator away from exact zero: a row whose
+    scores ALL underflow exp2 (possible only for adversarial inputs ~-104 in
+    natural-log units — LN-bounded activations never get there) would
+    otherwise produce 0/0 = NaN; with the floor it degrades to an all-zero
+    attention row instead (0 · 1e38 = 0), matching the no-max design's
+    graceful-degradation contract."""
+    return jnp.maximum(denom, jnp.float32(1e-38))
+
+
 def _ln_qkv_attention_kernel(
     x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, mask_ref,
     o_ref, *, heads: int, dim: int, scale: float, eps: float,
@@ -86,7 +96,9 @@ def _ln_qkv_attention_kernel(
     VMEM-resident; the QKV activation, scores, and head outputs never touch
     HBM."""
     width = heads * dim
-    mask = mask_ref[:]
+    # additive masks carry NATURAL-log semantics (the public contract);
+    # scores are in the log2 domain, so rescale once. 0/-inf are fixed points.
+    mask = mask_ref[:] * jnp.float32(LOG2E)
     group = x_ref.shape[0]
     for g in range(group):
         x = x_ref[g]  # (S, W)
@@ -113,7 +125,7 @@ def _ln_qkv_attention_kernel(
                 precision=_mm_prec(q.dtype),
             )
             p = exp2_rows(s + mask)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
+            denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
             o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
                         precision=_mm_prec(v.dtype))
             outs.append((o * (1.0 / denom)).astype(x.dtype))
@@ -212,8 +224,9 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32,
         precision=_mm_prec(q.dtype),
     )
-    p = exp2_rows(s + mask_ref[:][None])  # additive mask: causal/padding, fp32
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+    # natural-log-domain mask rescaled into the log2 domain (0/-inf fixed)
+    p = exp2_rows(s + (mask_ref[:] * jnp.float32(LOG2E))[None])
+    denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # batched p @ v
@@ -318,7 +331,8 @@ def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, dim: int,
     Head slices are static 64-lane column windows; Mosaic handles the
     sub-128 lane offsets with in-VMEM shifts, far cheaper than HBM copies.
     """
-    mask = mask_ref[:]
+    # natural-log-domain mask rescaled into the log2 domain (0/-inf fixed)
+    mask = mask_ref[:] * jnp.float32(LOG2E)
     width = heads * dim
     for g in range(group):
         tile = qkv_ref[g]  # (S, 3*H*D) columns ordered [Q | K | V]
@@ -335,7 +349,7 @@ def _attention_qkv_kernel(qkv_ref, mask_ref, o_ref, *, heads: int, dim: int,
                 precision=_mm_prec(q.dtype),
             )
             p = exp2_rows(s + mask)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
+            denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
             o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
                         precision=_mm_prec(v.dtype))
             outs.append((o * (1.0 / denom)).astype(o_ref.dtype))
@@ -464,7 +478,8 @@ def _attention_qkv_bwd_kernel(qkv_ref, mask_ref, g_ref, dqkv_ref,
         dq = scale · ds k,   dk = scale · dsᵀ q
     """
     width = heads * dim
-    mask = mask_ref[:]
+    # natural-log-domain mask rescaled into the log2 domain (0/-inf fixed)
+    mask = mask_ref[:] * jnp.float32(LOG2E)
     group, seq, _ = qkv_ref.shape
     qkv = qkv_ref[:].reshape(group * seq, 3 * width)
     gout = g_ref[:].reshape(group * seq, width)
@@ -486,7 +501,7 @@ def _attention_qkv_bwd_kernel(qkv_ref, mask_ref, g_ref, dqkv_ref,
                 preferred_element_type=jnp.float32,
                 precision=_mm_prec(q.dtype))
             p = exp2_rows(s + mask)
-            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))  # (S, S) fp32
+            p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
 
             pb = p.astype(v.dtype)
             dv = jax.lax.dot_general(  # pᵀ g: contract over query rows

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aiic_tpu.ops.attention import LOG2E
+from aiic_tpu.ops.attention import LOG2E, _mm_prec
 
 
 def _mlp_kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
@@ -34,14 +34,14 @@ def _mlp_kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref
     h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
     h = h.astype(x.dtype)
     h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32,
-                precision=None if h.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+                precision=_mm_prec(h.dtype))
     h = h + b1_ref[:].astype(jnp.float32)
     # quick_gelu via exp2 (see ops/quant.py: Mosaic lowers exp2 faster than
     # its `logistic` path; numerically identical to the sigmoid form)
     h = h * (1.0 / (1.0 + jnp.exp2(jnp.float32(-1.702 * LOG2E) * h)))
     h = h.astype(x.dtype)
     h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32,
-                precision=None if h.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+                precision=_mm_prec(h.dtype))
     h = h + b2_ref[:].astype(jnp.float32)
     o_ref[:] = (xf + h).astype(o_ref.dtype)
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aiic_tpu.ops.attention import LOG2E, exp2_rows
+from aiic_tpu.ops.attention import LOG2E, _denom_guard, _mm_prec, exp2_rows
 
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -218,7 +218,9 @@ def _int8_attn_kernel(
     MLP kernel); weights are per-output-channel.
     """
     width = heads * dim
-    mask = mask_ref[:]
+    # natural-log-domain additive mask rescaled into the log2 domain once
+    # (0/-inf are fixed points; see ops/attention.exp2_rows)
+    mask = mask_ref[:] * jnp.float32(LOG2E)
     group, seq, _ = x_ref.shape
     # Both projections (~89% of half-block FLOPs) run ROW-MERGED across the
     # image group — per-slab matmuls pad 197 rows -> 224 sublane tiles each
@@ -255,12 +257,12 @@ def _int8_attn_kernel(
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=None if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
+                precision=_mm_prec(q.dtype),
             )
             p = exp2_rows(s + mask)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
+            denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
             o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
-                        precision=None if v.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+                        precision=_mm_prec(v.dtype))
             outs.append(o * (1.0 / denom))
         attns.append(jnp.concatenate(outs, axis=-1))  # (S, W) fp32
     attn = jnp.concatenate(attns, axis=0)  # (G*S, W)
@@ -269,7 +271,7 @@ def _int8_attn_kernel(
         attn.astype(x.dtype), wo_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=None if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
+        precision=_mm_prec(x.dtype),
     )
     out = out + bo_ref[:].astype(jnp.float32)
     o_ref[:] = (xf + out).astype(o_ref.dtype).reshape(group, seq, width)
@@ -313,8 +315,9 @@ def _int8_attn_rows_xla(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo,
 
     q = q * jnp.asarray(scale * LOG2E, q.dtype)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    p = exp2_rows(s + mask.astype(jnp.float32))
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+    # natural-log-domain mask rescaled into the log2 domain (0/-inf fixed)
+    p = exp2_rows(s + mask.astype(jnp.float32) * jnp.float32(LOG2E))
+    denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
     o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
     attn = (o * (1.0 / jnp.moveaxis(denom, 1, 2))).reshape(bsz * seq, width)

@@ -50,6 +50,28 @@ def host_local_batch(
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_data))
 
 
+def process_local_rows(global_rows: np.ndarray) -> np.ndarray:
+    """Slice THIS process's shard of a global batch's rows (or indices).
+
+    The multi-host DP contract is two-sided: every process passes its own
+    disjoint ``global_batch / process_count`` rows to
+    :func:`host_local_batch`, which assembles the global array. Feeding the
+    full global batch from every process would duplicate each row
+    ``process_count`` times — and under a contrastive loss each duplicate
+    on another host is a labeled NEGATIVE with cosine 1.0, silently
+    degenerating training. Single-process: identity."""
+    n = jax.process_count()
+    if n == 1:
+        return global_rows
+    b = len(global_rows)
+    if b % n:
+        raise ValueError(
+            f"global batch {b} not divisible by process_count {n}")
+    shard = b // n
+    i = jax.process_index()
+    return global_rows[i * shard:(i + 1) * shard]
+
+
 def replicated(mesh: Mesh, data: np.ndarray) -> jax.Array:
     """Place small host data (token tables, text caches) replicated on the
     mesh. All processes must pass identical values."""

@@ -91,6 +91,11 @@ class DynamicBatcher:
     def _loop(self):
         while not self._stop.is_set():
             batch = self._collect()
+            # Clients whose wait expired cancel their futures; computing
+            # their results would be pure waste (discarded on arrival) and
+            # under sustained overload turns into a death spiral where the
+            # device does 100% of the work for 0% of the responses.
+            batch = [b for b in batch if not b[1].cancelled()]
             if not batch:
                 continue
             self.metrics.gauge("queue_depth", self._q.qsize())

@@ -301,18 +301,26 @@ def train_lora(
         train_step, eval_step, params, lora_tree, opt_state = shard_train_step(
             mesh, train_step, eval_step, params, lora_tree, opt_state
         )
-        # Multi-host DP input seam (SURVEY §2d): each process feeds only its
-        # rows; under one process this is plain ('data',) placement.
+        from aiic_tpu.parallel.multihost import process_local_rows
+
+        # Multi-host DP input seam (SURVEY §2d): each process feeds ONLY its
+        # disjoint shard of every global batch (process_local_rows) and
+        # host_local_batch assembles the global array; under one process
+        # both are identities over plain ('data',) placement.
         place_batch = lambda x: host_local_batch(mesh, x)
+        local_rows = process_local_rows
     else:
         train_step = jax.jit(train_step, donate_argnums=(1, 2))
         eval_step = jax.jit(eval_step)
         place_batch = jnp.asarray
+        local_rows = lambda x: x
 
     def run_epoch_batches(indices):
+        # The permutation is seed-identical on every process; each host then
+        # materializes only its local_rows shard of each global batch.
         idx = rng.permutation(indices)
         for i in range(0, len(idx) - cfg.batch_size + 1, cfg.batch_size):
-            yield ds.batch(idx[i : i + cfg.batch_size], rng)
+            yield ds.batch(local_rows(idx[i : i + cfg.batch_size]), rng)
 
     history = []
     best_tree = lora_tree
@@ -340,7 +348,7 @@ def train_lora(
                 sl = vi_padded[i * cfg.batch_size : (i + 1) * cfg.batch_size]
                 if len(sl) < cfg.batch_size:
                     sl = vi_padded[: cfg.batch_size]
-                pixels, tokens = ds.batch(sl, rng)
+                pixels, tokens = ds.batch(local_rows(sl), rng)
                 val_losses.append(
                     float(eval_step(params, lora_tree, place_batch(pixels), place_batch(tokens)))
                 )

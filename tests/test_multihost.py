@@ -157,3 +157,29 @@ def test_single_process_seam_is_identity(tmp_path):
     r = replicated(mesh, x)
     assert r.shape == (8, 3)
     np.testing.assert_array_equal(np.asarray(r), x)
+
+
+def test_process_local_rows_disjoint_shards(monkeypatch):
+    """Each process gets a disjoint global_batch/process_count shard; the
+    union reconstructs the global batch exactly once (feeding the full batch
+    from every process would duplicate rows — and duplicates are labeled
+    negatives under the contrastive loss)."""
+    import aiic_tpu.parallel.multihost as mh
+
+    rows = np.arange(32)
+    monkeypatch.setattr(mh.jax, "process_count", lambda: 4)
+    seen = []
+    for p in range(4):
+        monkeypatch.setattr(mh.jax, "process_index", lambda p=p: p)
+        shard = mh.process_local_rows(rows)
+        assert len(shard) == 8
+        seen.extend(shard.tolist())
+    assert sorted(seen) == rows.tolist()
+
+    with pytest.raises(ValueError):
+        monkeypatch.setattr(mh.jax, "process_count", lambda: 5)
+        mh.process_local_rows(rows)
+
+    # single process: identity
+    monkeypatch.setattr(mh.jax, "process_count", lambda: 1)
+    np.testing.assert_array_equal(mh.process_local_rows(rows), rows)

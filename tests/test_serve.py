@@ -352,3 +352,29 @@ def test_analyze_timeout_returns_504_and_dead_letters(db_with_images):
         assert body["dead_lettered"] is True
     finally:
         server.shutdown()
+
+
+def test_batcher_skips_cancelled_futures():
+    """A client that cancels its future (client-side timeout) must not cost
+    device compute: the batcher drops cancelled entries before running."""
+    import time as _time
+
+    from aiic_tpu.serve.batcher import DynamicBatcher
+
+    ran = []
+
+    def run_batch(items):
+        ran.append(len(items))
+        return [int(x.sum()) for x in items]
+
+    b = DynamicBatcher(run_batch, max_batch=4, max_wait_ms=30.0)
+    try:
+        f1 = b.submit(np.ones((2, 2), np.uint8))
+        f2 = b.submit(np.full((2, 2), 2, np.uint8))
+        assert f1.cancel()  # abandoned before the batch forms
+        assert f2.result(timeout=5.0) == 8
+        _time.sleep(0.05)
+        assert sum(ran) == 1  # only the live request was computed
+        assert f1.cancelled()
+    finally:
+        b.close()

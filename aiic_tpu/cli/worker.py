@@ -45,6 +45,16 @@ def main(argv=None):
     p.add_argument("--lora-alpha", type=float, default=None,
                    help="adapter alpha; default 2*rank (the reference keeps "
                         "alpha/rank = 2.0 in both variants)")
+    p.add_argument("--text-cache", type=str, default="auto",
+                   help="path to the precomputed text-feature cache (.npz). "
+                        "'auto' (default) derives a config-fingerprinted path "
+                        "under .aiic_cache/ so restarts skip the ~60s text "
+                        "precompute; 'none' disables caching")
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="admission-control bound on queued /analyze requests; "
+                        "when full, new requests fast-fail with 503 + "
+                        "Retry-After instead of queueing past their deadline "
+                        "(0 = unbounded)")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -83,6 +93,32 @@ def main(argv=None):
     rank = rank or 4
     alpha = args.lora_alpha if args.lora_alpha is not None else 2 * rank
 
+    import numpy as np
+
+    # Text-feature cache: the features depend on everything that shapes the
+    # text tower's parameters and numerics, so 'auto' fingerprints all of it —
+    # a stale cache from a different config must never be picked up.
+    text_cache = None
+    if args.text_cache == "auto":
+        import hashlib
+        import os
+
+        h = hashlib.sha256()
+        h.update(repr((args.weights, args.dtype, args.use_lora, rank, alpha,
+                       args.quantize, args.dataset_json)).encode())
+        if lora_ckpt is not None:
+            for k in sorted(lora_ckpt):
+                h.update(k.encode())
+                h.update(np.asarray(lora_ckpt[k]).tobytes())
+        if os.path.exists(args.dataset_json):
+            with open(args.dataset_json, "rb") as f:
+                h.update(f.read())
+        os.makedirs(".aiic_cache", exist_ok=True)
+        text_cache = os.path.join(".aiic_cache", f"textcache_{h.hexdigest()[:16]}.npz")
+        print(f"text cache: {text_cache}")
+    elif args.text_cache not in (None, "none"):
+        text_cache = args.text_cache
+
     params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
     analyzer = InteriorAnalyzer(
         params=params,
@@ -93,6 +129,7 @@ def main(argv=None):
         lora_alpha=alpha,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype],
         quantize=args.quantize,
+        text_cache=text_cache,
     )
 
     if args.serve:
@@ -124,6 +161,7 @@ def main(argv=None):
         batcher = DynamicBatcher(
             run_batch, max_batch=64, max_wait_ms=10.0,
             batch_timeout_s=max(args.request_timeout, 1.0), on_timeout=dead_letter,
+            max_queue=args.max_queue or None,
         )
 
         from aiic_tpu.data.native_loader import native_available, preprocess_jpeg_batch

@@ -105,7 +105,15 @@ class InteriorAnalyzer:
         self.use_lora = False
         if use_lora:
             lc = LoRAConfig(rank=lora_rank, alpha=lora_alpha, attach=("c_fc", "c_proj"))
-            if lora_weights_path and os.path.exists(lora_weights_path):
+            # ``lora_weights_path`` accepts a filesystem path OR a pre-loaded
+            # checkpoint dict (the worker CLI loads the .pth once and hands
+            # the dict to every consumer); only str paths get an exists()
+            # probe — os.path.exists raises TypeError on a dict.
+            have_ckpt = lora_weights_path is not None and (
+                not isinstance(lora_weights_path, str)
+                or os.path.exists(lora_weights_path)
+            )
+            if have_ckpt:
                 tree, _meta = lora_tree_from_pth(lora_weights_path, config, lc, seed=seed)
             else:
                 from aiic_tpu.adapters import init_text_lora
@@ -214,19 +222,26 @@ class InteriorAnalyzer:
         for b in batch_sizes:
             self.classify_pixels(np.zeros((b, s, s, 3), np.uint8))
 
-    def classify_pixels(self, pixels: np.ndarray) -> Dict[str, np.ndarray]:
+    def classify_pixels(
+        self, pixels: np.ndarray, max_batch: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
         """Run the fused program over (N, S, S, 3) preprocessed pixels,
         chunked into padded power-of-two buckets to bound recompilation.
 
         All chunks are dispatched before any result is fetched, so
         host->device transfer of chunk i+1 overlaps compute of chunk i
-        (device fetches are the only sync points on this backend)."""
+        (device fetches are the only sync points on this backend).
+
+        ``max_batch`` overrides the engine's bucket ceiling for THIS call
+        only (it never mutates ``self.max_batch`` — a small request must not
+        lower the ceiling for later callers)."""
+        cap = max_batch or self.max_batch
         n = pixels.shape[0]
         pending: List[tuple] = []
         i = 0
         while i < n:
-            chunk = pixels[i : i + self.max_batch]
-            padded, valid = pad_batch(chunk, bucket_size(len(chunk), self.max_batch))
+            chunk = pixels[i : i + cap]
+            padded, valid = pad_batch(chunk, bucket_size(len(chunk), cap))
             res = self._classify(
                 self.params, jnp.asarray(padded), self.det_text, self.cat_text, self.cat_mask
             )
@@ -264,10 +279,8 @@ class InteriorAnalyzer:
         max_workers: int = 8,
     ) -> Dict[str, Dict[str, Any]]:
         """Batch pipeline with the reference's result contract
-        (main.py:371-469): every input path maps to a result dict."""
-        if batch_size:
-            self.max_batch = batch_size
-
+        (main.py:371-469): every input path maps to a result dict.
+        ``batch_size`` caps the device bucket for this call only."""
         results: Dict[str, Dict[str, Any]] = {}
         good_paths: List[str] = []
         pixel_list: List[np.ndarray] = []
@@ -319,7 +332,7 @@ class InteriorAnalyzer:
         if not pixel_list:
             return results
 
-        res = self.classify_pixels(np.stack(pixel_list))
+        res = self.classify_pixels(np.stack(pixel_list), max_batch=batch_size)
 
         for row, path in enumerate(good_paths):
             conf = float(res["interior_mass"][row])

@@ -458,7 +458,17 @@ def fused_attention_qkv_vjp(qkv: jnp.ndarray, mask: jnp.ndarray, heads: int,
     recompute-the-forward trade, with the fast kernel keeping its transpose-
     free layout on the forward path. ``mask`` must be a concrete (S, S) array
     (pass zeros for no mask); its cotangent is zero (masks are never
-    trained)."""
+    trained).
+
+    Numerics caveat: the kernel forward uses the clamped no-max exp2 softmax
+    (exp2_rows) while the backward differentiates the unclamped
+    ``jax.nn.softmax`` composition. For rows whose max score exceeds the
+    70-nat clamp (degraded to uniform-over-clamped in the forward) or fully
+    underflowed rows, the backward therefore differentiates a slightly
+    different function than the forward evaluated. LN-bounded activations
+    never reach that regime (scores ≤ ~|q||k|·scale ≪ 70 nats after
+    pre-LN); acceptable by design, but do not feed this path un-normalized
+    scores."""
     return fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
 
 

@@ -16,10 +16,18 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Any, Callable, List, Sequence
 
 import numpy as np
+
+
+class BatcherOverloaded(RuntimeError):
+    """Raised by submit() when the admission-control queue bound is hit.
+
+    The REST layer maps this to 503 + Retry-After: under sustained overload
+    fast-failing new arrivals beats queueing work that is guaranteed to
+    exceed its deadline anyway (and beats unbounded queue memory growth)."""
 
 
 class DynamicBatcher:
@@ -32,6 +40,7 @@ class DynamicBatcher:
         metrics=None,
         batch_timeout_s: float | None = None,
         on_timeout: Callable[[int], None] | None = None,
+        max_queue: int | None = None,
     ):
         """``batch_timeout_s``: hard deadline per dispatched batch. A batch
         that exceeds it fails its requests with TimeoutError and the collector
@@ -39,12 +48,18 @@ class DynamicBatcher:
         one hung dispatch (the abandoned dispatch thread is daemonic and
         eventually dies with its computation; its late results land on
         already-failed futures, a no-op). ``on_timeout(n_items)`` is the
-        dead-letter hook."""
+        dead-letter hook.
+
+        ``max_queue``: admission-control bound on queued (undispatched)
+        requests; when full, submit() raises BatcherOverloaded instead of
+        enqueueing. None = unbounded (library default; the serving CLI sets
+        a bound)."""
         self._run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.batch_timeout = batch_timeout_s
         self._on_timeout = on_timeout
+        self.max_queue = max_queue
         if metrics is None:
             from aiic_tpu.serve.metrics import GLOBAL_METRICS
 
@@ -56,6 +71,11 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, item: np.ndarray) -> Future:
+        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
+            self.metrics.inc("requests_rejected_total")
+            raise BatcherOverloaded(
+                f"request queue full ({self.max_queue}); retry later"
+            )
         fut: Future = Future()
         self._q.put((item, fut))
         return fut
@@ -108,8 +128,14 @@ class DynamicBatcher:
                 else:
                     results = self._run_with_deadline(items, len(futures))
                 for fut, res in zip(futures, results):
+                    # A client can cancel() between the done() check and
+                    # set_result; swallowing the InvalidStateError per-future
+                    # keeps one racing cancel from failing the whole batch.
                     if not fut.done():
-                        fut.set_result(res)
+                        try:
+                            fut.set_result(res)
+                        except InvalidStateError:
+                            pass
                 self.metrics.observe_batch(len(batch), self.max_batch, time.perf_counter() - t0)
             except Exception as e:
                 if isinstance(e, TimeoutError):
@@ -123,7 +149,10 @@ class DynamicBatcher:
                     self.metrics.inc("batch_errors_total")
                 for fut in futures:
                     if not fut.done():
-                        fut.set_exception(e)
+                        try:
+                            fut.set_exception(e)
+                        except InvalidStateError:
+                            pass
 
     def _run_with_deadline(self, items, n: int):
         """Dispatch on a fresh daemon thread and wait at most batch_timeout."""

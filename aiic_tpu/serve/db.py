@@ -142,6 +142,21 @@ class MongoDB:
         self.images = self.db.images
         self.analysis_results = self.db.analysis_results
 
+    # -- writes used by seeders/tests (same contract as InMemoryDB, so the
+    # shared contract suite in tests/test_db_contract.py runs over both) ----
+    def insert_apartment(self, _id, title="", **kw):
+        self.apartments.update_one(
+            {"_id": _id}, {"$set": {"title": title, **kw}}, upsert=True
+        )
+
+    def insert_image(self, _id, apartment_id, url, status="pending", **kw):
+        self.images.update_one(
+            {"_id": _id},
+            {"$set": {"apartment_id": apartment_id, "url": url,
+                      "analysis_status": status, **kw}},
+            upsert=True,
+        )
+
     def get_pending_apartments(self):
         pipeline = [
             {"$lookup": {

@@ -117,7 +117,20 @@ def make_server(
                     self._json({"error": f"analysis timed out: {e}",
                                 "dead_lettered": True}, 504)
                 except Exception as e:
-                    self._json({"error": str(e)}, 500)
+                    from aiic_tpu.serve.batcher import BatcherOverloaded
+
+                    if isinstance(e, BatcherOverloaded):
+                        # Admission control: fast-fail instead of queueing
+                        # doomed work; clients should back off and retry.
+                        body = json.dumps({"error": str(e)}).encode("utf-8")
+                        self.send_response(503)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Retry-After", "1")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self._json({"error": str(e)}, 500)
             else:
                 self._json({"error": "not found"}, 404)
 

@@ -102,6 +102,8 @@ class ApartmentWorker:
     # ------------------------------------------------------------------
 
     def analyze_apartment(self, apartment_id, batch_size: int = 8) -> Optional[Dict[str, Any]]:
+        """``batch_size`` caps the device bucket for this apartment's batched
+        classify pass (reference --batch-size semantics, main_API.py:349)."""
         data = self.db.get_apartment_with_images(apartment_id)
         if not data or not data.get("images"):
             return None
@@ -120,7 +122,7 @@ class ApartmentWorker:
         if not pixel_list:
             return None
 
-        res = self.analyzer.classify_pixels(np.stack(pixel_list))
+        res = self.analyzer.classify_pixels(np.stack(pixel_list), max_batch=batch_size)
         style_preds = self._styles_for(res["features"])
 
         room_analyses = []

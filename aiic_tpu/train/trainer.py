@@ -144,11 +144,17 @@ def make_train_step(
                      if jax.default_backend() == "tpu" and single_device
                      else "xla")
 
-    def loss_fn(lora_tree, params, pixels, tokens, rng=None):
-        img = normalize_features(
+    def image_features(params, pixels):
+        """The frozen-tower branch exactly as the loss sees it (exposed as
+        ``train_step.image_features`` so tests can pin the trainer's image
+        numerics — e.g. that quantize_image really runs the int8 serving
+        path — without reaching into the closure)."""
+        return normalize_features(
             encode_image(params, pixels, config, dtype=image_dtype, attn_impl=image_impl)
         ).astype(cfg.dtype)
-        img = jax.lax.stop_gradient(img)
+
+    def loss_fn(lora_tree, params, pixels, tokens, rng=None):
+        img = jax.lax.stop_gradient(image_features(params, pixels))
         txt = normalize_features(
             encode_text(
                 params, tokens, config, dtype=cfg.dtype, attn_impl=text_impl,
@@ -172,6 +178,7 @@ def make_train_step(
     def eval_step(params, lora_tree, pixels, tokens):
         return loss_fn(lora_tree, params, pixels, tokens)
 
+    train_step.image_features = image_features
     return train_step, eval_step
 
 

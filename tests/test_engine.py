@@ -271,3 +271,40 @@ def test_warmup_precompiles_buckets(tiny_analyzer):
     px = np.zeros((2, TINY_TEST.image_size, TINY_TEST.image_size, 3), np.uint8)
     res = tiny_analyzer.classify_pixels(px)
     assert np.isfinite(res["interior_mass"]).all()
+
+
+def test_analyzer_accepts_preloaded_lora_dict():
+    """The worker CLI loads the .pth once and passes the DICT as
+    lora_weights_path; the analyzer must route it to lora_tree_from_pth
+    instead of os.path.exists()-probing it (round-2 advisor high finding:
+    exists() raises TypeError on a dict, crashing `serve --use-lora`)."""
+    from aiic_tpu.adapters import LoRAConfig, init_text_lora
+    from aiic_tpu.adapters.torch_convert import lora_tree_to_pth_dict
+
+    lc = LoRAConfig(rank=2, alpha=4, attach=("c_fc", "c_proj"))
+    tree = init_text_lora(jax.random.PRNGKey(3), TINY_TEST, lc)
+    tree = jax.tree.map(lambda x: x + 0.01, tree)  # nonzero B: fold is active
+    ckpt = {k: np.asarray(v) for k, v in lora_tree_to_pth_dict(tree).items()}
+
+    a = InteriorAnalyzer(
+        config=TINY_TEST, training_data=[], use_lora=True,
+        lora_weights_path=ckpt, lora_rank=2, lora_alpha=4,
+    )
+    assert a.use_lora
+    base = InteriorAnalyzer(config=TINY_TEST, training_data=[])
+    # folded adapters actually changed the text tower weights
+    diff = np.abs(np.asarray(a.params["text"]["blocks"]["mlp"]["w1"], np.float32)
+                  - np.asarray(base.params["text"]["blocks"]["mlp"]["w1"], np.float32))
+    assert diff.max() > 0
+
+
+def test_analyze_images_batch_does_not_mutate_max_batch(tiny_analyzer, tmp_path):
+    """A small request's batch_size caps THAT call only — it must not lower
+    the engine's bucket ceiling for later callers (round-2 VERDICT wart)."""
+    from PIL import Image
+
+    p = tmp_path / "img.png"
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(p)
+    before = tiny_analyzer.max_batch
+    tiny_analyzer.analyze_images_batch([str(p)], batch_size=1)
+    assert tiny_analyzer.max_batch == before

@@ -212,10 +212,13 @@ def test_train_lora_quantized_image_tower(synth_dataset, tmp_path):
     assert np.isfinite(out["best_val_loss"])
     assert np.abs(np.asarray(out["lora_tree"]["c_fc"]["B"])).max() > 0
 
-    # The trainer's image branch == the int8 serving branch, bit for bit.
+    # The trainer's ACTUAL image branch (make_train_step's exposed
+    # image_features — the function loss_fn differentiates around) produces
+    # the int8 serving path's features, not the fp32 path's.
     from aiic_tpu.models import init_clip_params
     from aiic_tpu.models.clip import encode_image, normalize_features
     from aiic_tpu.ops.quant import quantize_model_mlp
+    from aiic_tpu.train.trainer import make_optimizer, make_train_step
 
     params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
     qparams = quantize_model_mlp(params, attn=True, towers=("visual",))
@@ -224,9 +227,13 @@ def test_train_lora_quantized_image_tower(synth_dataset, tmp_path):
         (2, TINY_TEST.image_size, TINY_TEST.image_size, 3)).astype(np.float32))
     serving = normalize_features(encode_image(
         qparams, px, TINY_TEST, dtype=jnp.bfloat16, attn_impl="pallas"))
-    trainer_view = normalize_features(encode_image(
-        qparams, px, TINY_TEST, dtype=jnp.bfloat16, attn_impl="pallas"))
-    np.testing.assert_array_equal(np.asarray(serving), np.asarray(trainer_view))
+
+    tcfg = TrainConfig(epochs=1, batch_size=2, rank=2, alpha=4, seed=0,
+                       quantize_image=True, image_attn_impl="pallas")
+    step, _ = make_train_step(TINY_TEST, tcfg, make_optimizer(tcfg, 1))
+    trainer_view = step.image_features(qparams, px)
+    np.testing.assert_array_equal(
+        np.asarray(serving, np.float32), np.asarray(trainer_view, np.float32))
     # and it differs from the fp32 path (i.e. quantization is actually on)
     fp32 = normalize_features(encode_image(params, px, TINY_TEST))
     assert np.abs(np.asarray(serving, np.float32) - np.asarray(fp32)).max() > 0

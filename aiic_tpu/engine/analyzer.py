@@ -72,10 +72,20 @@ class InteriorAnalyzer:
         seed: int = 0,
         text_cache: Optional[str] = None,
         quantize: bool = False,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` for multi-chip serving. Every
+        mesh axis is treated as data parallelism: the classify program runs
+        under ``jax.shard_map`` so each device executes the exact single-chip
+        program — bf16 + Pallas + int8 kernels included — on its local batch
+        shard with replicated weights (classification is per-image, so pure
+        DP is communication-optimal; see parallel.make_sharded_classify_fn).
+        Batch buckets are rounded up to a multiple of the device count."""
         self.config = config
         self.dtype = dtype
         self.max_batch = max_batch
+        self.mesh = mesh
+        self._bucket_multiple = int(mesh.devices.size) if mesh is not None else 1
 
         if params is None:
             params = init_clip_params(jax.random.PRNGKey(seed), config)
@@ -195,13 +205,30 @@ class InteriorAnalyzer:
                     cat_mask=np.asarray(self.cat_mask),
                 )
 
-        self._classify = make_classify_fn(
-            config,
-            INTERIOR_COUNT,
-            dtype=dtype,
-            attn_impl=attn_impl,
-            matmul_precision=matmul_precision,
-        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from aiic_tpu.parallel.sharding import make_sharded_classify_fn
+
+            # Replicate weights once at load time; shard_map keeps the
+            # single-chip serving program (Pallas/int8 kernels) per device.
+            repl = NamedSharding(mesh, PartitionSpec())
+            self.params = jax.device_put(self.params, repl)
+            raw = make_classify_fn(
+                config, INTERIOR_COUNT, dtype=dtype, attn_impl=attn_impl,
+                matmul_precision=matmul_precision, jit=False,
+            )
+            self._classify = make_sharded_classify_fn(
+                mesh, raw, self.params, kernels=True
+            )
+        else:
+            self._classify = make_classify_fn(
+                config,
+                INTERIOR_COUNT,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                matmul_precision=matmul_precision,
+            )
 
     # ------------------------------------------------------------------
     # Device passes
@@ -219,7 +246,13 @@ class InteriorAnalyzer:
                 batch_sizes.append(b)
                 b <<= 1
         s = self.config.image_size
+        seen = set()
         for b in batch_sizes:
+            m = self._bucket_multiple
+            b = ((b + m - 1) // m) * m  # mesh mode rounds buckets up
+            if b in seen:
+                continue
+            seen.add(b)
             self.classify_pixels(np.zeros((b, s, s, 3), np.uint8))
 
     def classify_pixels(
@@ -241,7 +274,11 @@ class InteriorAnalyzer:
         i = 0
         while i < n:
             chunk = pixels[i : i + cap]
-            padded, valid = pad_batch(chunk, bucket_size(len(chunk), cap))
+            b = bucket_size(len(chunk), cap)
+            m = self._bucket_multiple
+            if b % m:  # mesh mode: shard_map needs batch % device_count == 0
+                b = ((b + m - 1) // m) * m
+            padded, valid = pad_batch(chunk, b)
             res = self._classify(
                 self.params, jnp.asarray(padded), self.det_text, self.cat_text, self.cat_mask
             )

@@ -123,8 +123,13 @@ def make_classify_fn(
     attn_impl: str = "auto",
     matmul_precision: Optional[str] = None,
     donate_pixels: bool = False,
+    jit: bool = True,
 ):
-    """Build the jitted classify program (closed over static config)."""
+    """Build the jitted classify program (closed over static config).
+
+    ``jit=False`` returns the raw traced function — used by
+    ``parallel.make_sharded_classify_fn`` which applies its own
+    shard_map + jit wrapping for multi-chip serving."""
 
     def fn(params, pixels, det_text, cat_text, cat_mask):
         # The precision context must be live at *trace* time, i.e. inside the
@@ -142,5 +147,7 @@ def make_classify_fn(
             dtype=dtype, attn_impl=attn_impl,
         )
 
+    if not jit:
+        return fn
     donate = (1,) if donate_pixels else ()
     return jax.jit(fn, donate_argnums=donate)

@@ -74,15 +74,16 @@ class TrainConfig:
     remat_text: bool = True
     # The FROZEN image tower needs no VJP at all — nothing differentiated
     # enters it (params are a non-diff input, pixels are data), so it can run
-    # the fused Pallas kernels. None = 'auto' (Pallas on TPU) single-device,
-    # 'xla' under a mesh (GSPMD cannot partition the custom call over the
-    # 'model' axis).
+    # the fused Pallas kernels. None = 'auto' (Pallas on TPU). Under a mesh
+    # the tower runs inside a shard_map over ('data',) with replicated
+    # visual weights, so the kernels stay live multi-chip.
     image_attn_impl: Any = None
     # Run the frozen image tower with the SERVING numerics: bf16 + int8
     # MLP/attention-projection weights (ops/quant.quantize_model). Adapters
     # then train against exactly the image features the int8 serving config
-    # produces, instead of fp32 features it will never see again. Single
-    # device only (the int8 kernels are custom calls GSPMD cannot partition).
+    # produces, instead of fp32 features it will never see again. Works on
+    # one device and under a mesh (shard_map keeps the int8 custom calls
+    # per-device).
     quantize_image: bool = False
 
 
@@ -116,6 +117,7 @@ def make_train_step(
     config: CLIPConfig,
     cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
+    mesh=None,
 ) -> Callable:
     """Jittable (params, lora, opt_state, pixels, tokens) -> (loss, lora, opt_state).
 
@@ -125,6 +127,17 @@ def make_train_step(
     The train step takes a trailing ``rng`` (dropout key). With
     ``cfg.lora_dropout == 0`` (the reference default) the key is unused and
     the math is bit-identical to a step without it; eval never drops.
+
+    ``mesh``: when given, the FROZEN image tower runs inside a
+    ``jax.shard_map`` over the ('data',) axis with replicated visual
+    weights — each device executes the single-chip program (Pallas / int8
+    kernels included) on its local batch shard. This is how multi-chip
+    training keeps the fast image forward (GSPMD cannot partition the
+    Pallas custom calls, but the frozen tower is embarrassingly
+    data-parallel). Pair with ``shard_train_step(...,
+    replicate_visual=True)``. The differentiated text tower stays on the
+    GSPMD path: it is TP-shardable, and the global-batch contrastive loss
+    needs the full feature matrices anyway.
     """
     scaling = cfg.alpha / cfg.rank
     image_impl = cfg.image_attn_impl if cfg.image_attn_impl is not None else "auto"
@@ -144,14 +157,32 @@ def make_train_step(
                      if jax.default_backend() == "tpu" and single_device
                      else "xla")
 
+    def _image_branch(visual, pixels):
+        return normalize_features(
+            encode_image({"visual": visual}, pixels, config,
+                         dtype=image_dtype, attn_impl=image_impl)
+        ).astype(cfg.dtype)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        # Per-device single-chip image program on the local batch shard;
+        # visual weights replicated (in_specs P()). Only the visual subtree
+        # enters the shard_map, so TP-sharded text weights are untouched.
+        _image_fn = jax.shard_map(
+            _image_branch, mesh=mesh,
+            in_specs=(P(), P("data")), out_specs=P("data"),
+            check_vma=False,  # Pallas custom calls defeat the rep checker
+        )
+    else:
+        _image_fn = _image_branch
+
     def image_features(params, pixels):
         """The frozen-tower branch exactly as the loss sees it (exposed as
         ``train_step.image_features`` so tests can pin the trainer's image
         numerics — e.g. that quantize_image really runs the int8 serving
         path — without reaching into the closure)."""
-        return normalize_features(
-            encode_image(params, pixels, config, dtype=image_dtype, attn_impl=image_impl)
-        ).astype(cfg.dtype)
+        return _image_fn(params["visual"], pixels)
 
     def loss_fn(lora_tree, params, pixels, tokens, rng=None):
         img = jax.lax.stop_gradient(image_features(params, pixels))
@@ -249,26 +280,22 @@ def train_lora(
     from aiic_tpu.models.init import init_clip_params
 
     cfg = cfg or TrainConfig()
-    if mesh is not None and cfg.image_attn_impl is None:
-        # GSPMD cannot partition the Pallas custom call over the 'model'
-        # axis; the XLA einsum path shards cleanly.
-        cfg = dataclasses.replace(cfg, image_attn_impl="xla")
     if mesh is not None and cfg.attn_impl == "auto":
-        # Same constraint for the differentiable text kernel (pallas_vjp).
+        # The differentiable text kernel (pallas_vjp) is a custom call GSPMD
+        # cannot partition; the text tower runs the TP-shardable XLA path
+        # under a mesh. The IMAGE tower keeps its Pallas/int8 kernels under a
+        # mesh via make_train_step's shard_map over ('data',).
         cfg = dataclasses.replace(cfg, attn_impl="xla")
     if params is None:
         params = init_clip_params(jax.random.PRNGKey(cfg.seed), config)
 
     if cfg.quantize_image:
-        if mesh is not None:
-            raise ValueError(
-                "quantize_image trains against the int8 Pallas serving kernels, "
-                "which GSPMD cannot partition — use a single device (mesh=None)"
-            )
         from aiic_tpu.ops.quant import quantize_model_mlp
 
         # int8 weights on the FROZEN tower only; the text tower keeps fp
         # weights (its LoRA attach points bypass the int8 kernels anyway).
+        # Works under a mesh too: the frozen tower runs inside shard_map
+        # over ('data',) with replicated visual weights.
         params = quantize_model_mlp(params, attn=True, towers=("visual",))
 
     if image_root is None:
@@ -299,14 +326,15 @@ def train_lora(
         best_val = float(meta["best_val_loss"])
         log(f"resumed from {state_path} at epoch {start_epoch} (best val {best_val:.4f})")
 
-    train_step, eval_step = make_train_step(config, cfg, optimizer)
+    train_step, eval_step = make_train_step(config, cfg, optimizer, mesh=mesh)
 
     if mesh is not None:
         from aiic_tpu.parallel.multihost import host_local_batch
         from aiic_tpu.parallel.sharding import shard_train_step
 
         train_step, eval_step, params, lora_tree, opt_state = shard_train_step(
-            mesh, train_step, eval_step, params, lora_tree, opt_state
+            mesh, train_step, eval_step, params, lora_tree, opt_state,
+            replicate_visual=True,
         )
         from aiic_tpu.parallel.multihost import process_local_rows
 

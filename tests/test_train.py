@@ -239,17 +239,21 @@ def test_train_lora_quantized_image_tower(synth_dataset, tmp_path):
     assert np.abs(np.asarray(serving, np.float32) - np.asarray(fp32)).max() > 0
 
 
-def test_quantize_image_rejects_mesh(synth_dataset, tmp_path):
+def test_quantize_image_under_mesh_trains(synth_dataset, tmp_path):
+    """Round-2 limitation lifted: quantize_image now works under a mesh —
+    the frozen tower's int8 kernels run inside a shard_map over ('data',)
+    with replicated visual weights (make_train_step(mesh=...))."""
     from aiic_tpu.parallel import create_mesh
 
     json_path, root = synth_dataset
-    with pytest.raises(ValueError, match="quantize_image"):
-        train_lora(
-            json_path, str(tmp_path / "x.pth"), config=TINY_TEST,
-            cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4,
-                            quantize_image=True),
-            image_root=root, mesh=create_mesh(8, tp=2), log=lambda *_: None,
-        )
+    out = train_lora(
+        json_path, str(tmp_path / "x.pth"), config=TINY_TEST,
+        cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4,
+                        quantize_image=True, image_attn_impl="pallas"),
+        image_root=root, mesh=create_mesh(8, tp=2), log=lambda *_: None,
+    )
+    assert np.isfinite(out["best_val_loss"])
+    assert np.abs(np.asarray(out["lora_tree"]["c_fc"]["B"])).max() > 0
 
 
 def test_pallas_vjp_train_step_matches_xla_on_cpu():

@@ -194,19 +194,22 @@ def main(argv=None):
         def analyze_bytes(data: bytes):
             # All batcher items are uint8 (normalize fused on device); a mixed
             # uint8/float batch would silently corrupt under np.stack.
-            if use_native:
-                pixels, ok = preprocess_jpeg_batch([data], size)
-                if ok[0]:
-                    return _submit(pixels[0])
-            arr = decode_image_bytes(data)  # non-JPEG fallback (PNG, ...)
-            if arr is None:
-                return {"error": "could not decode image"}
-            h, w = arr.shape[:2]
-            nw, nh = resize_target(w, h, size)
-            res = resize_bicubic_numpy(arr, nw, nh)
-            top, left = center_crop_bounds(nw, nh, size)
-            crop = res[max(top, 0): max(top, 0) + size,
-                       max(left, 0): max(left, 0) + size].astype(np.uint8)
+            with GLOBAL_METRICS.stages.stage("serve_decode"):
+                crop = None
+                if use_native:
+                    pixels, ok = preprocess_jpeg_batch([data], size)
+                    if ok[0]:
+                        crop = pixels[0]
+                if crop is None:
+                    arr = decode_image_bytes(data)  # non-JPEG fallback (PNG, ...)
+                    if arr is None:
+                        return {"error": "could not decode image"}
+                    h, w = arr.shape[:2]
+                    nw, nh = resize_target(w, h, size)
+                    res = resize_bicubic_numpy(arr, nw, nh)
+                    top, left = center_crop_bounds(nw, nh, size)
+                    crop = res[max(top, 0): max(top, 0) + size,
+                               max(left, 0): max(left, 0) + size].astype(np.uint8)
             return _submit(crop)
 
         # Serve immediately; warm (text cache + bucket precompile) in the

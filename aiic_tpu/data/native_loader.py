@@ -56,6 +56,20 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
+        try:
+            lib.aiic_jpeg_dims.restype = ctypes.c_int
+            lib.aiic_jpeg_dims.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.aiic_decode_jpeg.restype = ctypes.c_int
+            lib.aiic_decode_jpeg.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+        except AttributeError:  # stale .so without the decode-only exports
+            pass
         _LIB = lib
         return _LIB
 
@@ -116,6 +130,36 @@ def preprocess_jpeg_batch(
     )
     ok = np.asarray(list(status)) == 0
     return out, ok
+
+
+def decode_jpeg_raw(blob: bytes) -> Optional[np.ndarray]:
+    """Decode-ONLY path (BASELINE config #3 device-resize variant): JPEG
+    bytes -> raw uint8 (H, W, 3) at the source geometry, no resize. The
+    resize/crop/normalize then run on the DEVICE as matmuls
+    (ops/preprocess.device_preprocess_fixed). Falls back to PIL when the
+    native library is unavailable."""
+    if not blob:
+        return None
+    lib = _build_and_load()
+    if lib is None or not hasattr(lib, "aiic_jpeg_dims"):
+        from aiic_tpu.data.images import decode_image_bytes
+
+        return decode_image_bytes(blob)
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    w, h = ctypes.c_int(0), ctypes.c_int(0)
+    p = buf.ctypes.data_as(ctypes.c_char_p)
+    if lib.aiic_jpeg_dims(p, len(blob), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    if w.value <= 0 or h.value <= 0:
+        return None
+    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+    rc = lib.aiic_decode_jpeg(
+        p, len(blob), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def preprocess_jpeg_files(

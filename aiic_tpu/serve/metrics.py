@@ -15,10 +15,16 @@ from typing import Dict
 
 class Metrics:
     def __init__(self):
+        from aiic_tpu.utils.profiling import StageTimer
+
         self._lock = threading.Lock()
         self._counters: Dict[str, float] = defaultdict(float)
         self._gauges: Dict[str, float] = {}
         self._start = time.time()
+        # Per-stage wall time (decode / dispatch / fetch / ...): the engine
+        # and worker wrap their pipeline stages with ``metrics.stages.stage``
+        # and /metrics exposes the summary (SURVEY §5a tracing).
+        self.stages = StageTimer()
 
     def inc(self, name: str, value: float = 1.0) -> None:
         with self._lock:
@@ -46,6 +52,10 @@ class Metrics:
                 out["images_per_sec_avg"] = (
                     self._counters["images_total"] / self._counters["batch_seconds_total"]
                 )
+            for name, s in self.stages.summary().items():
+                out[f"stage_{name}_mean_ms"] = round(s["mean_ms"], 3)
+                out[f"stage_{name}_total_s"] = round(s["total_s"], 4)
+                out[f"stage_{name}_count"] = s["count"]
             return out
 
 

@@ -239,6 +239,29 @@ void aiic_preprocess_jpeg_batch(const uint8_t** jpegs, const size_t* lens,
   for (auto& t : pool) t.join();
 }
 
+// Header-only dimension probe (no pixel decode — cheap size query so the
+// caller can allocate before aiic_decode_jpeg). Returns 0 on success.
+int aiic_jpeg_dims(const uint8_t* jpeg, size_t len, int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = ErrorExit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, jpeg, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  *width = static_cast<int>(cinfo.image_width);
+  *height = static_cast<int>(cinfo.image_height);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Plain decode to caller-allocated buffer after a size query.
 // First call with out=nullptr fills *width/*height; second call decodes.
 int aiic_decode_jpeg(const uint8_t* jpeg, size_t len, uint8_t* out,

@@ -308,3 +308,49 @@ def test_analyze_images_batch_does_not_mutate_max_batch(tiny_analyzer, tmp_path)
     before = tiny_analyzer.max_batch
     tiny_analyzer.analyze_images_batch([str(p)], batch_size=1)
     assert tiny_analyzer.max_batch == before
+
+
+def test_analyze_images_batch_device_resize_parity(tiny_analyzer, tmp_path, ref_root):
+    """device_resize=True (decode-only host, bicubic resize as device
+    matmuls, grouped by geometry) matches the host-resize path: same
+    verdicts, confidences within the <=1-uint8-level resize tolerance."""
+    import shutil
+
+    # two geometries: two reference JPEGs as-is + one re-encoded at a
+    # different size (exercises per-geometry grouping)
+    from PIL import Image
+
+    paths = []
+    for i in (1, 2):
+        d = tmp_path / f"g{i}.jpg"
+        shutil.copy(f"{ref_root}/dataset_images/interior{i}.jpg", d)
+        paths.append(str(d))
+    small = tmp_path / "small.jpg"
+    Image.open(paths[0]).resize((96, 72)).save(small, quality=92)
+    paths.append(str(small))
+    paths.append(str(tmp_path / "missing.jpg"))
+
+    host = tiny_analyzer.analyze_images_batch(paths, filter_interiors=False)
+    dev = tiny_analyzer.analyze_images_batch(paths, filter_interiors=False,
+                                             device_resize=True)
+    assert dev[paths[-1]]["detected_category"] == "load error"
+    for p in paths[:3]:
+        assert host[p]["is_interior"] == dev[p]["is_interior"]
+        np.testing.assert_allclose(dev[p]["interior_confidence"],
+                                   host[p]["interior_confidence"], atol=2e-2)
+    # per-geometry programs were actually compiled (2 distinct geometries)
+    assert len(tiny_analyzer._resize_programs) >= 2
+
+
+def test_stage_timings_surface_on_metrics(tiny_analyzer, tmp_path):
+    """The engine's decode/dispatch/fetch stage timers land on the metrics
+    snapshot (SURVEY §5a — tracing wired into the production path)."""
+    from PIL import Image
+
+    p = tmp_path / "m.png"
+    Image.fromarray(np.zeros((24, 24, 3), np.uint8)).save(p)
+    tiny_analyzer.analyze_images_batch([str(p)])
+    snap = tiny_analyzer.metrics.snapshot()
+    assert any(k.startswith("stage_dispatch") for k in snap)
+    assert any(k.startswith("stage_fetch") for k in snap)
+    assert any(k.startswith("stage_decode") for k in snap)

@@ -59,3 +59,24 @@ def test_prefetching_loader_streams_all_batches(ref_root):
         assert ok.all()
         seen += pixels.shape[0]
     assert seen == 10
+
+
+def test_decode_jpeg_raw_roundtrip(ref_root):
+    """decode_jpeg_raw returns the source-geometry uint8 array that matches
+    PIL's decode (same bytes, no resample)."""
+    import numpy as np
+    from PIL import Image
+
+    from aiic_tpu.data.native_loader import decode_jpeg_raw
+
+    path = f"{ref_root}/dataset_images/interior1.jpg"
+    with open(path, "rb") as f:
+        blob = f.read()
+    arr = decode_jpeg_raw(blob)
+    assert arr is not None
+    ref = np.asarray(Image.open(path).convert("RGB"))
+    assert arr.shape == ref.shape
+    # libjpeg IDCT variants may differ by a level or two from PIL's
+    assert np.abs(arr.astype(int) - ref.astype(int)).max() <= 2
+    assert decode_jpeg_raw(b"not a jpeg") is None
+    assert decode_jpeg_raw(b"") is None

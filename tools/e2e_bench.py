@@ -1,12 +1,24 @@
 """End-to-end pipeline benchmark (BASELINE config #3): JPEG files ->
 native decode+resize pool -> prefetch queue -> uint8 transfer -> fused
-normalize/encode/detect/analyze on device.
+normalize/encode/detect/analyze on device — through the PRODUCTION
+``analyze_images_batch`` path (which streams local JPEGs through the
+double-buffered PrefetchingLoader, so host decode overlaps device compute).
 
-    python tools/e2e_bench.py [repeat] [batch]
+    python tools/e2e_bench.py [repeat] [batch] [mode]
+
+mode:
+  stream (default) — the wired streaming path over all 150 reference JPEGs
+  device           — device-side resize (decode-only host, bicubic resize as
+                     device matmuls) over the dominant fixed geometry
+                     (256x256: 75/150 reference images), the bucketable-
+                     geometry case device resize is built for
+
+Reports per-stage wall time from the engine's StageTimer: decode_stall is
+the time the dispatch loop sat waiting on the host decoder (0 == decode
+fully hidden behind device compute).
 
 Throughput is host-decode bound in this 1-core container (~77 img/s/core);
-the pipeline overlaps decode with device compute, so on an n-core host it
-scales until the device limit (~3.9k img/s).
+on an n-core host the same pipeline scales until the device limit.
 """
 
 import glob
@@ -17,43 +29,49 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 
 def main():
     repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    mode = sys.argv[3] if len(sys.argv) > 3 else "stream"
 
     import jax.numpy as jnp
 
-    from aiic_tpu.data.pipeline import PrefetchingLoader
     from aiic_tpu.engine import InteriorAnalyzer
+    from aiic_tpu.utils.profiling import StageTimer
 
-    paths = sorted(glob.glob("/root/reference/dataset_images/*.jpg")) * repeat
-    analyzer = InteriorAnalyzer(
-        training_data=[], dtype=jnp.bfloat16, max_batch=batch
-    )
+    paths = sorted(glob.glob("/root/reference/dataset_images/*.jpg"))
+    if mode == "device":
+        from PIL import Image
+
+        paths = [p for p in paths if Image.open(p).size == (256, 256)]
+    paths = paths * repeat
+
+    analyzer = InteriorAnalyzer(training_data=[], dtype=jnp.bfloat16, max_batch=batch)
     analyzer.warmup([batch])
 
-    loader = PrefetchingLoader(paths, batch_size=batch, size=224, depth=2)
+    # warm pass (compiles any remaining buckets / per-geometry programs),
+    # then a fresh-timer measured pass
+    analyzer.analyze_images_batch(paths, filter_interiors=False,
+                                  device_resize=(mode == "device"))
+    analyzer.metrics.stages = StageTimer()
     t0 = time.perf_counter()
-    n = 0
-    interiors = 0
-    for pixels, ok, (start, end) in loader:
-        res = analyzer.classify_pixels(pixels)
-        good = ok & (
-            (res["interior_mass"] > res["non_interior_mass"]) & (res["top_conf"] > 0.3)
-        )
-        interiors += int(good.sum())
-        n += int(ok.sum())
+    res = analyzer.analyze_images_batch(paths, filter_interiors=False,
+                                        device_resize=(mode == "device"))
     dt = time.perf_counter() - t0
+
+    # count per path OCCURRENCE: repeated paths collapse in the result dict
+    # but each occurrence was decoded and classified
+    n = sum(1 for p in paths if res[p]["detected_category"] != "load error")
+    stages = {k: round(v["total_s"], 3)
+              for k, v in analyzer.metrics.stages.summary().items()}
     print(json.dumps({
-        "metric": "e2e_jpeg_to_verdict_images_per_sec",
+        "metric": f"e2e_jpeg_to_verdict_images_per_sec_{mode}",
         "value": round(n / dt, 1),
         "unit": "img/s",
         "images": n,
-        "interiors": interiors,
         "seconds": round(dt, 2),
+        "stage_seconds": stages,
     }))
 
 

@@ -345,7 +345,13 @@ def run_tower(
         return out, None
 
     if remat:
-        body = jax.checkpoint(body)
+        if remat == "dots":
+            # Selective remat: stash matmul outputs through the scan, only
+            # recompute the cheap elementwise chains in the backward.
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.checkpoint_dots)
+        else:
+            body = jax.checkpoint(body)
 
     if lora is None:
         xs = blocks

@@ -41,7 +41,9 @@ def main():
     from aiic_tpu.utils.profiling import StageTimer
 
     paths = sorted(glob.glob("/root/reference/dataset_images/*.jpg"))
-    if mode == "device":
+    if mode in ("device", "stream256"):
+        # fixed-geometry subset (75/150 images are 256x256) — the bucketable
+        # case device resize targets; stream256 is its host-resize control
         from PIL import Image
 
         paths = [p for p in paths if Image.open(p).size == (256, 256)]

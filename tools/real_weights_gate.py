@@ -43,11 +43,21 @@ def run(cmd, env=None, timeout=3600):
 
 
 def last_json(stdout):
-    for line in reversed(stdout.strip().splitlines()):
+    """Parse the last JSON value in stdout — one-line (parity_report) or
+    pretty-printed multi-line (eval_f1)."""
+    text = stdout.strip()
+    for line in reversed(text.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
                 return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    # multi-line blob: parse from the first '{' that yields valid JSON
+    for i, ch in enumerate(text):
+        if ch == "{":
+            try:
+                return json.loads(text[i:])
             except json.JSONDecodeError:
                 continue
     return None

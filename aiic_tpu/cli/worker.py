@@ -50,6 +50,11 @@ def main(argv=None):
                         "'auto' (default) derives a config-fingerprinted path "
                         "under .aiic_cache/ so restarts skip the ~60s text "
                         "precompute; 'none' disables caching")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="serve over an N-device data-parallel mesh (0 = "
+                        "single device). The int8/Pallas serving kernels "
+                        "stay live per device via shard_map; weights "
+                        "replicate; batch buckets round to N")
     p.add_argument("--max-queue", type=int, default=256,
                    help="admission-control bound on queued /analyze requests; "
                         "when full, new requests fast-fail with 503 + "
@@ -119,6 +124,12 @@ def main(argv=None):
     elif args.text_cache not in (None, "none"):
         text_cache = args.text_cache
 
+    mesh = None
+    if args.mesh_devices:
+        from aiic_tpu.parallel import create_mesh
+
+        mesh = create_mesh(args.mesh_devices, tp=1)  # serving is pure DP
+
     params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
     analyzer = InteriorAnalyzer(
         params=params,
@@ -130,6 +141,7 @@ def main(argv=None):
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype],
         quantize=args.quantize,
         text_cache=text_cache,
+        mesh=mesh,
     )
 
     if args.serve:

@@ -208,6 +208,30 @@ def block(
 
         attn_impl = resolve_attn_impl(attn_impl)
 
+    # Whole-block training path with a hand-written backward kernel
+    # (ops/block_grad): LN1+attention+out_proj+LN2+MLP and all six LoRA
+    # cotangents in ONE program recomputing intermediates in VMEM.
+    # Requires the full reference attach set and no dropout.
+    if (
+        attn_impl == "block_fused"
+        and lora is not None
+        and all(k in lora for k in ("out_proj", "c_fc", "c_proj"))
+        and lora_dropout == 0.0
+        and gelu_type == "quick_gelu"
+    ):
+        from aiic_tpu.ops.block_grad import text_block_lora
+
+        on_tpu = jax.default_backend() == "tpu"
+        m = (jnp.zeros((x.shape[1], x.shape[1]), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+        return text_block_lora(
+            x, {k: p[k] for k in ("ln1", "attn", "ln2", "mlp")},
+            {k: lora[k] for k in ("out_proj", "c_fc", "c_proj")},
+            m, heads, lora_scaling, not on_tpu,
+        )
+    if attn_impl == "block_fused":  # config not kernelizable -> fast default
+        attn_impl = "pallas_vjp"
+
     # int8 attention half-block (ops/quant.py): selected when the params
     # carry quantized projection weights (quantize_model) on the bf16
     # inference path. The QKV projection (~67% of half-block FLOPs) runs

@@ -1,0 +1,364 @@
+"""Whole-text-block backward kernel (round-2 VERDICT next-step #2).
+
+Round-2 measured the training text-tower backward at 49.4 ms/step (B=256)
+with only ~11 ms of matmul — the rest is diffuse fp32 elementwise fusions
+(LN / quick-gelu / softmax cotangents at 1.5-3 ms each) plus ~5 ms of
+einsum-backward relayout copies, and a core-only backward kernel LOSES
+under remat because XLA shares the probability-matrix recompute with its
+own derived backward (docs/PERF_NOTES.md). The fix is one program that owns
+the WHOLE block backward: recompute every forward intermediate in VMEM from
+the block input (the remat trade, but with zero HBM round-trips between
+stages) and emit the input cotangent plus all six LoRA-factor cotangents.
+
+Forward being differentiated (the training text block, reference
+train_lora.py:76-98 attach set — out_proj, c_fc, c_proj; no dropout):
+
+    h1 = LN1(x);  qkv = h1 Wqkv + b
+    a  = attention(qkv)                      (clamped exp2 softmax — the
+                                              same numerics as the Pallas
+                                              forward kernels)
+    y1 = x + a Wo + bo + s (a Ao) Bo
+    h2 = LN2(y1); f = h2 W1 + b1 + s (h2 Af) Bf
+    u  = f sigmoid(1.702 f)
+    y  = y1 + u W2 + b2 + s (u Ap) Bp
+
+The backward needs cotangents for x and the six LoRA factors only — the
+backbone is frozen (value_and_grad runs over the adapter tree; zero
+cotangents returned for weights are dead code XLA eliminates).
+
+LoRA-factor cotangents are cross-batch reductions: the kernel accumulates
+them in fp32 output blocks revisited across the sequential grid (the
+standard K-loop accumulation pattern), initialized at program_id 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aiic_tpu.ops.attention import (
+    LOG2E,
+    _denom_guard,
+    _mm_prec,
+    exp2_rows,
+    fused_attention_qkv,
+)
+
+Params = Dict[str, Any]
+
+
+def _ln_fwd(xf: jnp.ndarray, scale, bias, eps: float):
+    """fp32 LN forward returning (out, xhat, inv_sigma) for reuse in bwd."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(dh: jnp.ndarray, xhat: jnp.ndarray, inv: jnp.ndarray, scale):
+    """Cotangent wrt LN input given cotangent of LN output (fp32)."""
+    g = dh * scale
+    gm = jnp.mean(g, axis=-1, keepdims=True)
+    gx = jnp.mean(g * xhat, axis=-1, keepdims=True)
+    return inv * (g - gm - xhat * gx)
+
+
+def _qgelu_fwd(f: jnp.ndarray):
+    sig = jax.nn.sigmoid(1.702 * f)
+    return f * sig, sig
+
+
+def _text_block_bwd_kernel(
+    x_ref, dy_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    aoA_ref, aoB_ref, afA_ref, afB_ref, apA_ref, apB_ref,
+    dx_ref, daoA_ref, daoB_ref, dafA_ref, dafB_ref, dapA_ref, dapB_ref,
+    *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+):
+    width = heads * dim
+    prec = _mm_prec(x_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        daoA_ref[:] = jnp.zeros_like(daoA_ref)
+        daoB_ref[:] = jnp.zeros_like(daoB_ref)
+        dafA_ref[:] = jnp.zeros_like(dafA_ref)
+        dafB_ref[:] = jnp.zeros_like(dafB_ref)
+        dapA_ref[:] = jnp.zeros_like(dapA_ref)
+        dapB_ref[:] = jnp.zeros_like(dapB_ref)
+
+    mask = mask_ref[:] * jnp.float32(LOG2E)  # natural-log mask -> log2 domain
+    cdt = x_ref.dtype  # compute dtype for MXU operands (bf16 in production)
+
+    def dot(a, b, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    ln1s = ln1s_ref[:].astype(jnp.float32)
+    ln2s = ln2s_ref[:].astype(jnp.float32)
+
+    group = x_ref.shape[0]
+    for gidx in range(group):
+        x = x_ref[gidx]
+        dy = dy_ref[gidx].astype(jnp.float32)
+
+        # ---- forward recompute (everything VMEM-resident) ----------------
+        xf = x.astype(jnp.float32)
+        h1f, xhat1, inv1 = _ln_fwd(xf, ln1s, ln1b_ref[:].astype(jnp.float32), eps)
+        h1 = h1f.astype(cdt)
+        qkv = dot(h1, wqkv_ref[:], (((1,), (0,)))) + bqkv_ref[:].astype(jnp.float32)
+        qkv = qkv.astype(cdt)  # (S, 3W)
+
+        probs = []  # per-head normalized fp32 probabilities (kept for bwd)
+        outs = []
+        for hd in range(heads):
+            q = qkv[:, hd * dim:(hd + 1) * dim]
+            k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+            v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            qs = q * jnp.asarray(scale * LOG2E, cdt)
+            s = dot(qs, k, ((1,), (1,)))
+            p = exp2_rows(s + mask)
+            p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
+            probs.append(p)
+            outs.append(dot(p, v, ((1,), (0,))).astype(cdt))
+        a = jnp.concatenate(outs, axis=-1)  # (S, W)
+
+        a_ao = dot(a, aoA_ref[:], ((1,), (0,)))  # (S, r) fp32
+        ao = (dot(a, wo_ref[:], ((1,), (0,)))
+              + bo_ref[:].astype(jnp.float32)
+              + scaling * dot(a_ao, aoB_ref[:], ((1,), (0,))))
+        y1 = xf + ao  # fp32 (S, W)
+
+        h2f, xhat2, inv2 = _ln_fwd(y1, ln2s, ln2b_ref[:].astype(jnp.float32), eps)
+        h2 = h2f.astype(cdt)
+        h2_af = dot(h2, afA_ref[:], ((1,), (0,)))  # (S, r)
+        f = (dot(h2, w1_ref[:], ((1,), (0,)))
+             + b1_ref[:].astype(jnp.float32)
+             + scaling * dot(h2_af, afB_ref[:], ((1,), (0,))))  # (S, M) fp32
+        u, sig = _qgelu_fwd(f)
+        u_c = u.astype(cdt)
+        u_ap = dot(u_c, apA_ref[:], ((1,), (0,)))  # (S, r)
+
+        # ---- backward ----------------------------------------------------
+        # MLP half: y = y1 + u W2 + b2 + s (u Ap) Bp
+        dmo = dy  # (S, W) fp32
+        t_p = dot(dmo, apB_ref[:], ((1,), (1,)))            # dmo Bp^T (S, r)
+        du = dot(dmo, w2_ref[:], ((1,), (1,))) + scaling * dot(t_p, apA_ref[:], ((1,), (1,)))
+        dapA_ref[:] += scaling * dot(u_c, t_p, ((0,), (0,)))      # u^T t (M, r)
+        dapB_ref[:] += scaling * dot(u_ap, dmo, ((0,), (0,)))     # (r, W)
+
+        dfq = du * (sig + 1.702 * f * sig * (1.0 - sig))    # quick-gelu'
+        t_f = dot(dfq, afB_ref[:], ((1,), (1,)))            # df Bf^T (S, r)
+        dh2 = dot(dfq, w1_ref[:], ((1,), (1,))) + scaling * dot(t_f, afA_ref[:], ((1,), (1,)))
+        dafA_ref[:] += scaling * dot(h2, t_f, ((0,), (0,)))       # (W, r)
+        dafB_ref[:] += scaling * dot(h2_af, dfq, ((0,), (0,)))    # (r, M)
+
+        dy1 = dy + _ln_bwd(dh2, xhat2, inv2, ln2s)
+
+        # attention half: y1 = x + a Wo + bo + s (a Ao) Bo
+        dao = dy1
+        t_o = dot(dao, aoB_ref[:], ((1,), (1,)))            # dao Bo^T (S, r)
+        da = dot(dao, wo_ref[:], ((1,), (1,))) + scaling * dot(t_o, aoA_ref[:], ((1,), (1,)))
+        daoA_ref[:] += scaling * dot(a, t_o, ((0,), (0,)))        # (W, r)
+        daoB_ref[:] += scaling * dot(a_ao, dao, ((0,), (0,)))     # (r, W)
+
+        # attention core backward per head (probabilities kept from fwd)
+        dqs, dks, dvs = [], [], []
+        for hd in range(heads):
+            p = probs[hd]
+            q = qkv[:, hd * dim:(hd + 1) * dim]
+            k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+            v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            gh = da[:, hd * dim:(hd + 1) * dim]
+            dv = dot(p, gh, ((0,), (0,)))                   # p^T g
+            dp = dot(gh, v, ((1,), (1,)))                   # g v^T
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = ds * scale
+            dq = dot(ds, k, ((1,), (0,)))
+            dk = dot(ds, q, ((0,), (0,)))                   # ds^T q
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        dqkv = jnp.concatenate(
+            [jnp.concatenate(dqs, axis=-1),
+             jnp.concatenate(dks, axis=-1),
+             jnp.concatenate(dvs, axis=-1)], axis=-1)       # (S, 3W) fp32
+
+        dh1 = dot(dqkv, wqkv_ref[:], ((1,), (1,)))          # dqkv Wqkv^T
+        dx = dy1 + _ln_bwd(dh1, xhat1, inv1, ln1s)
+        dx_ref[gidx] = dx.astype(dx_ref.dtype)
+
+
+def text_block_bwd(
+    x: jnp.ndarray, dy: jnp.ndarray, mask: jnp.ndarray,
+    bp: Params, lora: Params, *,
+    heads: int, scaling: float, eps: float = 1e-5, interpret: bool = False,
+) -> Tuple[jnp.ndarray, Params]:
+    """(B,S,W) x + output cotangent -> (dx, dlora) for one text block."""
+    bsz, seq, width = x.shape
+    dim = width // heads
+    mlp = bp["mlp"]["w1"].shape[-1]
+    r_o = lora["out_proj"]["A"].shape[-1]
+    r_f = lora["c_fc"]["A"].shape[-1]
+    r_p = lora["c_proj"]["A"].shape[-1]
+    cdt = x.dtype
+
+    def row(v):
+        return v.reshape(1, -1)
+
+    # Group images per grid step to amortize per-program overhead (the S=77
+    # dots are small); bf16 fits 2 per step under the ~16 MB VMEM budget
+    # (weights ~6.3 MB + ~4 MB fp32 intermediates per image).
+    group = 2 if x.dtype.itemsize <= 2 and int(os.environ.get("AIIC_BLOCKBWD_G", "2")) == 2 else 1
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        jax.ShapeDtypeStruct((width, r_o), jnp.float32),
+        jax.ShapeDtypeStruct((r_o, width), jnp.float32),
+        jax.ShapeDtypeStruct((width, r_f), jnp.float32),
+        jax.ShapeDtypeStruct((r_f, mlp), jnp.float32),
+        jax.ShapeDtypeStruct((mlp, r_p), jnp.float32),
+        jax.ShapeDtypeStruct((r_p, width), jnp.float32),
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_text_block_bwd_kernel, heads=heads, dim=dim,
+                          scale=dim ** -0.5, scaling=scaling, eps=eps),
+        out_shape=out_shapes,
+        grid=(bsz // group,),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((seq, seq)),
+            full((1, width)), full((1, width)), full((1, width)), full((1, width)),
+            full((width, 3 * width)), full((1, 3 * width)),
+            full((width, width)), full((1, width)),
+            full((width, mlp)), full((1, mlp)), full((mlp, width)), full((1, width)),
+            full((width, r_o)), full((r_o, width)),
+            full((width, r_f)), full((r_f, mlp)),
+            full((mlp, r_p)), full((r_p, width)),
+        ],
+        out_specs=(
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((width, r_o)), full((r_o, width)),
+            full((width, r_f)), full((r_f, mlp)),
+            full((mlp, r_p)), full((r_p, width)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # fwd recompute + bwd ~ 3x the forward matmul work
+            flops=3 * 2 * bsz * seq * width * (4 * width + 2 * mlp)
+            + 6 * 2 * bsz * heads * seq * seq * dim,
+            bytes_accessed=4 * bsz * seq * width * x.dtype.itemsize
+            + (3 * width * width + 2 * width * mlp) * x.dtype.itemsize,
+            transcendentals=bsz * (heads * seq * seq + seq * mlp),
+        ),
+        interpret=interpret,
+    )(
+        x, dy.astype(x.dtype), mask.astype(jnp.float32),
+        row(bp["ln1"]["scale"]).astype(cdt), row(bp["ln1"]["bias"]).astype(cdt),
+        row(bp["ln2"]["scale"]).astype(cdt), row(bp["ln2"]["bias"]).astype(cdt),
+        bp["attn"]["wqkv"].astype(cdt), row(bp["attn"]["bqkv"]).astype(cdt),
+        bp["attn"]["wo"].astype(cdt), row(bp["attn"]["bo"]).astype(cdt),
+        bp["mlp"]["w1"].astype(cdt), row(bp["mlp"]["b1"]).astype(cdt),
+        bp["mlp"]["w2"].astype(cdt), row(bp["mlp"]["b2"]).astype(cdt),
+        lora["out_proj"]["A"].astype(cdt), lora["out_proj"]["B"].astype(cdt),
+        lora["c_fc"]["A"].astype(cdt), lora["c_fc"]["B"].astype(cdt),
+        lora["c_proj"]["A"].astype(cdt), lora["c_proj"]["B"].astype(cdt),
+    )
+    dx = outs[0]
+    z = lora  # dtype template
+    dlora = {
+        "out_proj": {"A": outs[1].astype(z["out_proj"]["A"].dtype),
+                     "B": outs[2].astype(z["out_proj"]["B"].dtype)},
+        "c_fc": {"A": outs[3].astype(z["c_fc"]["A"].dtype),
+                 "B": outs[4].astype(z["c_fc"]["B"].dtype)},
+        "c_proj": {"A": outs[5].astype(z["c_proj"]["A"].dtype),
+                   "B": outs[6].astype(z["c_proj"]["B"].dtype)},
+    }
+    return dx, dlora
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+def _block_fwd_compose(x, bp, lora, mask, heads, scaling, interpret):
+    """Forward composition matching the kernel's recompute numerics: Pallas
+    clamped-exp2 attention core, fp32 LN/gelu, LoRA at the reference attach
+    set. (Inline rather than models.clip to avoid an import cycle.)"""
+    cdt = x.dtype
+
+    def lin(v, w, b=None):
+        y = jnp.dot(v, w.astype(cdt), preferred_element_type=jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y
+
+    def lora_delta(v, f):
+        down = jnp.dot(v, f["A"].astype(cdt), preferred_element_type=jnp.float32)
+        up = jnp.dot(down.astype(cdt), f["B"].astype(cdt),
+                     preferred_element_type=jnp.float32)
+        return scaling * up
+
+    def ln(v, p):
+        vf = v.astype(jnp.float32)
+        out, _, _ = _ln_fwd(vf, p["scale"].astype(jnp.float32),
+                            p["bias"].astype(jnp.float32), 1e-5)
+        return out
+
+    h1 = ln(x, bp["ln1"]).astype(cdt)
+    qkv = (lin(h1, bp["attn"]["wqkv"], bp["attn"]["bqkv"])).astype(cdt)
+    a = fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
+    a = a.reshape(x.shape)
+    ao = lin(a, bp["attn"]["wo"], bp["attn"]["bo"]) + lora_delta(a, lora["out_proj"])
+    y1 = x.astype(jnp.float32) + ao
+    h2 = ln(y1, bp["ln2"]).astype(cdt)
+    f = lin(h2, bp["mlp"]["w1"], bp["mlp"]["b1"]) + lora_delta(h2, lora["c_fc"])
+    u = (f * jax.nn.sigmoid(1.702 * f)).astype(cdt)
+    mo = lin(u, bp["mlp"]["w2"], bp["mlp"]["b2"]) + lora_delta(u, lora["c_proj"])
+    return (y1 + mo).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def text_block_lora(x, bp, lora, mask, heads, scaling, interpret=False):
+    """One training text block with a HAND-WRITTEN whole-block backward.
+
+    Differentiable in x and the LoRA tree (out_proj/c_fc/c_proj all
+    required); backbone params receive zero cotangents (they are frozen by
+    construction in the trainer — the zeros are dead code XLA removes).
+    ``mask`` must be a concrete (S, S) additive array.
+    """
+    return _block_fwd_compose(x, bp, lora, mask, heads, scaling, interpret)
+
+
+def _tb_fwd(x, bp, lora, mask, heads, scaling, interpret):
+    y = _block_fwd_compose(x, bp, lora, mask, heads, scaling, interpret)
+    return y, (x, bp, lora, mask)
+
+
+def _tb_bwd(heads, scaling, interpret, res, dy):
+    x, bp, lora, mask = res
+    dx, dlora = text_block_bwd(
+        x, dy, mask, bp, lora,
+        heads=heads, scaling=scaling, interpret=interpret,
+    )
+    dbp = jax.tree.map(jnp.zeros_like, bp)  # frozen backbone: DCE'd
+    return dx, dbp, dlora, jnp.zeros_like(mask)
+
+
+text_block_lora.defvjp(_tb_fwd, _tb_bwd)

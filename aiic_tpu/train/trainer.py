@@ -156,6 +156,12 @@ def make_train_step(
         text_impl = ("pallas_vjp"
                      if jax.default_backend() == "tpu" and single_device
                      else "xla")
+    text_remat = cfg.remat_text
+    if text_impl == "block_fused":
+        # The whole-block custom VJP already embodies the recompute trade
+        # (ops/block_grad); wrapping it in jax.checkpoint would just replay
+        # the forward a third time.
+        text_remat = False
 
     def _image_branch(visual, pixels):
         return normalize_features(
@@ -192,7 +198,7 @@ def make_train_step(
                 lora=lora_tree, lora_scaling=scaling,
                 lora_dropout=cfg.lora_dropout if rng is not None else 0.0,
                 lora_rng=rng,
-                remat=cfg.remat_text,
+                remat=text_remat,
             )
         )
         return contrastive_loss(img, txt, params["logit_scale"])

@@ -1,0 +1,133 @@
+"""Whole-text-block backward kernel (ops/block_grad): gradient parity vs the
+XLA composition, and end-to-end equivalence through the trainer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aiic_tpu.adapters import LoRAConfig, init_text_lora
+from aiic_tpu.models import TINY_TEST, init_clip_params
+from aiic_tpu.ops.attention import _attention_qkv_xla
+from aiic_tpu.ops.block_grad import text_block_lora
+
+CFG = TINY_TEST
+
+
+def _setup():
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    blocks = params["text"]["blocks"]
+    bp = jax.tree.map(lambda v: v[0],
+                      {k: blocks[k] for k in ("ln1", "attn", "ln2", "mlp")})
+    lc = LoRAConfig(4, 8, ("out_proj", "c_fc", "c_proj"))
+    ltree = init_text_lora(jax.random.PRNGKey(1), CFG, lc)
+    rng = np.random.default_rng(0)
+    # nonzero B so every LoRA path carries signal
+    lora = jax.tree.map(
+        lambda v: v[0] + 0.02 * rng.standard_normal(v[0].shape).astype(np.float32),
+        ltree)
+    S, W = CFG.context_length, CFG.text.width
+    x = jnp.asarray(rng.standard_normal((4, S, W)).astype(np.float32))
+    mask = jnp.triu(jnp.full((S, S), -jnp.inf, jnp.float32), k=1)
+    return bp, lora, x, mask, lc.scaling
+
+
+def _ref_fwd(x, bp, lora, mask, heads, scaling):
+    def lin(v, w, b):
+        return jnp.dot(v, w, preferred_element_type=jnp.float32) + b
+
+    def ld(v, f):
+        return scaling * jnp.dot(
+            jnp.dot(v, f["A"], preferred_element_type=jnp.float32), f["B"],
+            preferred_element_type=jnp.float32)
+
+    def ln(v, p):
+        m = v.mean(-1, keepdims=True)
+        var = jnp.square(v - m).mean(-1, keepdims=True)
+        return (v - m) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+    h1 = ln(x, bp["ln1"])
+    qkv = lin(h1, bp["attn"]["wqkv"], bp["attn"]["bqkv"])
+    a = _attention_qkv_xla(qkv, mask, heads).reshape(x.shape)
+    y1 = x + lin(a, bp["attn"]["wo"], bp["attn"]["bo"]) + ld(a, lora["out_proj"])
+    h2 = ln(y1, bp["ln2"])
+    f = lin(h2, bp["mlp"]["w1"], bp["mlp"]["b1"]) + ld(h2, lora["c_fc"])
+    u = f * jax.nn.sigmoid(1.702 * f)
+    return y1 + lin(u, bp["mlp"]["w2"], bp["mlp"]["b2"]) + ld(u, lora["c_proj"])
+
+
+def test_block_kernel_grads_match_xla_composition():
+    bp, lora, x, mask, scaling = _setup()
+    heads = CFG.text.heads
+
+    def loss_ref(x, lora):
+        return jnp.sum(jnp.sin(_ref_fwd(x, bp, lora, mask, heads, scaling)))
+
+    def loss_ker(x, lora):
+        return jnp.sum(jnp.sin(
+            text_block_lora(x, bp, lora, mask, heads, scaling, True)))
+
+    y_ref = _ref_fwd(x, bp, lora, mask, heads, scaling)
+    y_ker = text_block_lora(x, bp, lora, mask, heads, scaling, True)
+    np.testing.assert_allclose(np.asarray(y_ker), np.asarray(y_ref),
+                               atol=5e-6)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, lora)
+    gk = jax.jit(jax.grad(loss_ker, argnums=(0, 1)))(x, lora)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), atol=1e-5)
+    for point in ("out_proj", "c_fc", "c_proj"):
+        for fac in ("A", "B"):
+            np.testing.assert_allclose(
+                np.asarray(gk[1][point][fac]), np.asarray(gr[1][point][fac]),
+                atol=1e-5, err_msg=f"{point}.{fac}")
+
+
+def test_block_fused_train_step_matches_xla():
+    """attn_impl='block_fused' through make_train_step produces the same
+    loss and adapter updates as the plain XLA path (TINY, fp32, CPU)."""
+    from aiic_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal(
+        (8, CFG.image_size, CFG.image_size, 3)).astype(np.float32))
+    tokens = np.random.default_rng(1).integers(
+        1, CFG.vocab_size - 2, (8, CFG.context_length)).astype(np.int32)
+    tokens[:, 0] = CFG.vocab_size - 2
+    tokens[:, -1] = CFG.vocab_size - 1
+    tokens = jnp.asarray(tokens)
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+
+    out = {}
+    for name, impl in (("xla", "xla"), ("block", "block_fused")):
+        tc = TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4, seed=0,
+                         attn_impl=impl)
+        opt = make_optimizer(tc, 1)
+        lora = init_text_lora(jax.random.PRNGKey(1), CFG,
+                              LoRAConfig(2, 4, tc.attach))
+        opt_state = opt.init(lora)
+        ts, _ = make_train_step(CFG, tc, opt)
+        loss, new_lora, _ = jax.jit(ts)(params, lora, opt_state, pixels,
+                                        tokens, jax.random.PRNGKey(0))
+        out[name] = (float(loss), new_lora)
+
+    np.testing.assert_allclose(out["block"][0], out["xla"][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out["xla"][1]),
+                    jax.tree.leaves(out["block"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_block_fused_falls_back_without_full_attach():
+    """A lora tree missing out_proj routes to the default path (no crash,
+    same math as xla for that attach set)."""
+    from aiic_tpu.models.clip import encode_text
+
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    lc = LoRAConfig(2, 4, ("c_fc", "c_proj"))
+    lora = init_text_lora(jax.random.PRNGKey(1), CFG, lc)
+    tokens = np.random.default_rng(1).integers(
+        1, CFG.vocab_size - 2, (4, CFG.context_length)).astype(np.int32)
+    tokens = jnp.asarray(tokens)
+    a = encode_text(params, tokens, CFG, attn_impl="block_fused",
+                    lora=lora, lora_scaling=lc.scaling)
+    b = encode_text(params, tokens, CFG, attn_impl="xla",
+                    lora=lora, lora_scaling=lc.scaling)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

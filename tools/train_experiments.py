@@ -54,6 +54,10 @@ def measure(name, batch, iters, tcfg_kwargs, patch_ln=False):
     try:
         params = init_clip_params(jax.random.PRNGKey(0), config)
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        if tcfg_kwargs.get("quantize_image"):
+            from aiic_tpu.ops.quant import quantize_model_mlp
+
+            params = quantize_model_mlp(params, attn=True, towers=("visual",))
         lora = init_text_lora(jax.random.PRNGKey(1), config,
                               LoRAConfig(16, 32, tcfg.attach))
         opt = make_optimizer(tcfg, steps_per_epoch=100)
@@ -102,6 +106,11 @@ def main():
         ("bf16ln_dots", 256, dict(remat_text="dots"), True),
         ("b512", 512, dict(), False),
         ("b512_bf16ln", 512, dict(), True),
+        # whole-text-block backward kernel (ops/block_grad)
+        ("blockbwd", 256, dict(attn_impl="block_fused"), False),
+        ("blockbwd_b512", 512, dict(attn_impl="block_fused"), False),
+        ("blockbwd_int8", 256, dict(attn_impl="block_fused",
+                                    quantize_image=True), False),
     ]
     for name, batch, kw, patch in variants:
         if only and only != name:

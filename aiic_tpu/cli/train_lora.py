@@ -40,6 +40,12 @@ def main(argv=None):
                         "the multi-host input seam")
     p.add_argument("--tp", type=int, default=None,
                    help="model-axis size within --mesh (default: auto)")
+    p.add_argument("--attn-impl", default="auto",
+                   choices=["auto", "xla", "pallas_vjp", "block_fused"],
+                   help="text-tower attention/backward implementation. "
+                        "'block_fused' = whole-block backward kernel, "
+                        "+5-6%% steady-state over the default but a "
+                        "~12-22 min first compile on this backend")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -80,6 +86,7 @@ def main(argv=None):
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             rank=args.rank, alpha=args.alpha, lora_dropout=args.dropout,
             quantize_image=args.quantize_image, dtype=jnp.dtype(args.dtype),
+            attn_impl=args.attn_impl,
         ),
         image_root=args.image_root,
         mesh=mesh,

@@ -111,6 +111,29 @@ def main(argv=None):
         h = hashlib.sha256()
         h.update(repr((args.weights, args.dtype, args.use_lora, rank, alpha,
                        args.quantize, args.dataset_json)).encode())
+
+        def _fp_path(path):
+            """Fingerprint file/dir CONTENT identity (size+mtime per file,
+            recursive for HF checkpoint dirs) — a retrained checkpoint at
+            the same path must invalidate the cache."""
+            if not path or not os.path.exists(path):
+                h.update(b"missing")
+                return
+            if os.path.isdir(path):
+                for root, _dirs, files in sorted(os.walk(path)):
+                    for fn in sorted(files):
+                        fp = os.path.join(root, fn)
+                        st = os.stat(fp)
+                        h.update(f"{os.path.relpath(fp, path)}:{st.st_size}:"
+                                 f"{st.st_mtime_ns}".encode())
+            else:
+                st = os.stat(path)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+
+        _fp_path(args.weights)
+        # the merges file changes tokenization -> changes every text feature
+        h.update(os.environ.get("AIIC_BPE_PATH", "").encode())
+        _fp_path(os.environ.get("AIIC_BPE_PATH"))
         if lora_ckpt is not None:
             for k in sorted(lora_ckpt):
                 h.update(k.encode())

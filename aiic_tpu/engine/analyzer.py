@@ -260,11 +260,13 @@ class InteriorAnalyzer:
         s = self.config.image_size
         seen = set()
         for b in batch_sizes:
-            m = self._bucket_multiple
-            b = ((b + m - 1) // m) * m  # mesh mode rounds buckets up
-            if b in seen:
+            # dedupe on the FINAL bucket a live request of size b would
+            # compile (same bucket_size-then-round order as _dispatch_chunk;
+            # rounding first would precompile buckets nothing ever hits)
+            fb = self._final_bucket(b, max(self.max_batch, b))
+            if fb in seen:
                 continue
-            seen.add(b)
+            seen.add(fb)
             self.classify_pixels(np.zeros((b, s, s, 3), np.uint8))
 
     def classify_pixels(
@@ -290,15 +292,20 @@ class InteriorAnalyzer:
             i += len(chunk)
         return self._fetch_pending(pending)
 
+    def _final_bucket(self, n: int, cap: int) -> int:
+        """Bucket a request of n rows actually compiles: power-of-two bucket
+        rounded up to the mesh device-count multiple."""
+        b = bucket_size(n, cap)
+        m = self._bucket_multiple
+        if b % m:  # mesh mode: shard_map needs batch % device_count == 0
+            b = ((b + m - 1) // m) * m
+        return b
+
     def _dispatch_chunk(self, chunk: np.ndarray, cap: int) -> tuple:
         """Pad one chunk to its bucket and dispatch the device program
         WITHOUT fetching — callers queue several dispatches so host work
         (decode of the next batch) and device compute overlap."""
-        b = bucket_size(len(chunk), cap)
-        m = self._bucket_multiple
-        if b % m:  # mesh mode: shard_map needs batch % device_count == 0
-            b = ((b + m - 1) // m) * m
-        padded, valid = pad_batch(chunk, b)
+        padded, valid = pad_batch(chunk, self._final_bucket(len(chunk), cap))
         with self.metrics.stages.stage("dispatch"):
             res = self._classify(
                 self.params, jnp.asarray(padded), self.det_text, self.cat_text, self.cat_mask
@@ -346,33 +353,44 @@ class InteriorAnalyzer:
         from aiic_tpu.data.native_loader import decode_jpeg_raw
 
         cap = batch_size or self.max_batch
+        pending: List[tuple] = []
+        good_paths: List[str] = []
         groups: Dict[tuple, list] = {}
-        with self.metrics.stages.stage("decode"):
-            for p in image_paths:
+
+        def flush(geom):
+            # dispatch a full (or final partial) geometry group and DROP the
+            # host copies — memory stays bounded by cap rows per active
+            # geometry instead of the whole decoded corpus, and device
+            # compute overlaps the remaining decode
+            items = groups.pop(geom, [])
+            if not items:
+                return
+            fn, ky, kx = self._resize_classify_for(geom)
+            raw = np.stack([a for _, a in items])
+            padded, valid = pad_batch(raw, bucket_size(len(items), cap))
+            with self.metrics.stages.stage("dispatch"):
+                res = fn(self.params, jnp.asarray(padded), ky, kx,
+                         self.det_text, self.cat_text, self.cat_mask)
+            pending.append((res, valid))
+            good_paths.extend(p for p, _ in items)
+
+        for p in image_paths:
+            with self.metrics.stages.stage("decode"):
                 try:
                     with open(p, "rb") as f:
                         blob = f.read()
                 except OSError:
                     blob = b""
                 arr = decode_jpeg_raw(blob)
-                if arr is None:
-                    record_load_error(p)
-                else:
-                    groups.setdefault(arr.shape[:2], []).append((p, arr))
-
-        pending: List[tuple] = []
-        good_paths: List[str] = []
-        for geom, items in groups.items():
-            fn, ky, kx = self._resize_classify_for(geom)
-            for i in range(0, len(items), cap):
-                chunk = items[i : i + cap]
-                raw = np.stack([a for _, a in chunk])
-                padded, valid = pad_batch(raw, bucket_size(len(chunk), cap))
-                with self.metrics.stages.stage("dispatch"):
-                    res = fn(self.params, jnp.asarray(padded), ky, kx,
-                             self.det_text, self.cat_text, self.cat_mask)
-                pending.append((res, valid))
-                good_paths.extend(p for p, _ in chunk)
+            if arr is None:
+                record_load_error(p)
+                continue
+            geom = arr.shape[:2]
+            groups.setdefault(geom, []).append((p, arr))
+            if len(groups[geom]) >= cap:
+                flush(geom)
+        for geom in list(groups):
+            flush(geom)
         if not pending:
             return None, good_paths
         return self._fetch_pending(pending), good_paths

@@ -42,11 +42,13 @@ def make_server(
     db = db if db is not None else InMemoryDB()
 
     class Handler(BaseHTTPRequestHandler):
-        def _json(self, obj, code: int = 200):
+        def _json(self, obj, code: int = 200, headers: Optional[Dict[str, str]] = None):
             body = json.dumps(obj, ensure_ascii=False, default=str).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json; charset=utf-8")
             self.send_header("Access-Control-Allow-Origin", "*")
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -122,13 +124,8 @@ def make_server(
                     if isinstance(e, BatcherOverloaded):
                         # Admission control: fast-fail instead of queueing
                         # doomed work; clients should back off and retry.
-                        body = json.dumps({"error": str(e)}).encode("utf-8")
-                        self.send_response(503)
-                        self.send_header("Content-Type", "application/json")
-                        self.send_header("Retry-After", "1")
-                        self.send_header("Content-Length", str(len(body)))
-                        self.end_headers()
-                        self.wfile.write(body)
+                        self._json({"error": str(e)}, 503,
+                                   headers={"Retry-After": "1"})
                     else:
                         self._json({"error": str(e)}, 500)
             else:

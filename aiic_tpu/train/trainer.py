@@ -158,10 +158,25 @@ def make_train_step(
                      else "xla")
     text_remat = cfg.remat_text
     if text_impl == "block_fused":
-        # The whole-block custom VJP already embodies the recompute trade
-        # (ops/block_grad); wrapping it in jax.checkpoint would just replay
-        # the forward a third time.
-        text_remat = False
+        # The kernel only engages under its preconditions (full reference
+        # attach set, no dropout, quick-gelu — models.clip.block); mirror
+        # them here so a silent fallback to autodiff keeps remat ON instead
+        # of stashing 12 layers of activations.
+        kernel_ok = (
+            cfg.lora_dropout == 0.0
+            and all(k in cfg.attach for k in ("out_proj", "c_fc", "c_proj"))
+            and config.gelu_type == "quick_gelu"
+        )
+        if kernel_ok:
+            # The whole-block custom VJP already embodies the recompute
+            # trade (ops/block_grad); wrapping it in jax.checkpoint would
+            # just replay the forward a third time.
+            text_remat = False
+        else:
+            text_impl = ("pallas_vjp"
+                         if jax.default_backend() == "tpu"
+                         and jax.device_count() == 1 and mesh is None
+                         else "xla")
 
     def _image_branch(visual, pixels):
         return normalize_features(
@@ -292,6 +307,15 @@ def train_lora(
         # under a mesh. The IMAGE tower keeps its Pallas/int8 kernels under a
         # mesh via make_train_step's shard_map over ('data',).
         cfg = dataclasses.replace(cfg, attn_impl="xla")
+    elif mesh is not None and cfg.attn_impl in ("pallas_vjp", "block_fused"):
+        # Fail loudly instead of letting GSPMD hit the unpartitionable
+        # custom call (and the kernel receive TP-sharded LoRA factors) with
+        # an opaque compile error.
+        raise ValueError(
+            f"attn_impl={cfg.attn_impl!r} is a Pallas custom-call path GSPMD "
+            "cannot partition over the text tower's TP axis — use "
+            "attn_impl='auto' (or 'xla') when training over a mesh"
+        )
     if params is None:
         params = init_clip_params(jax.random.PRNGKey(cfg.seed), config)
 

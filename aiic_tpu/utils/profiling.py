@@ -8,13 +8,19 @@ needs.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Optional
 
 
 class StageTimer:
+    """Thread-safe: serving handler threads record stages concurrently with
+    GET /metrics snapshots (an unguarded dict would raise 'dictionary
+    changed size during iteration' and lose '+=' updates)."""
+
     def __init__(self):
+        self._lock = threading.Lock()
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
 
@@ -24,15 +30,18 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def summary(self) -> Dict[str, Dict[str, float]]:
-        return {
-            k: {"total_s": self.totals[k], "count": self.counts[k],
-                "mean_ms": 1e3 * self.totals[k] / max(self.counts[k], 1)}
-            for k in self.totals
-        }
+        with self._lock:
+            return {
+                k: {"total_s": self.totals[k], "count": self.counts[k],
+                    "mean_ms": 1e3 * self.totals[k] / max(self.counts[k], 1)}
+                for k in self.totals
+            }
 
 
 @contextlib.contextmanager

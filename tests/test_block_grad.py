@@ -131,3 +131,40 @@ def test_block_fused_falls_back_without_full_attach():
     b = encode_text(params, tokens, CFG, attn_impl="xla",
                     lora=lora, lora_scaling=lc.scaling)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_block_fused_with_dropout_falls_back_and_trains():
+    """dropout>0 can't use the kernel; the trainer must fall back to the
+    autodiff path WITH remat intact and still train (review finding)."""
+    from aiic_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal(
+        (4, CFG.image_size, CFG.image_size, 3)).astype(np.float32))
+    tokens = jnp.asarray(np.full((4, CFG.context_length), 3, np.int32))
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    tc = TrainConfig(epochs=1, batch_size=4, rank=2, alpha=4, seed=0,
+                     attn_impl="block_fused", lora_dropout=0.5)
+    opt = make_optimizer(tc, 1)
+    lora = init_text_lora(jax.random.PRNGKey(1), CFG, LoRAConfig(2, 4, tc.attach))
+    ts, _ = make_train_step(CFG, tc, opt)
+    loss, new_lora, _ = jax.jit(ts)(params, lora, opt.init(lora), pixels,
+                                    tokens, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_explicit_pallas_impl_under_mesh_raises():
+    """train_lora must reject explicitly-requested Pallas custom-call text
+    paths under a mesh with a clear error, not an opaque GSPMD failure."""
+    import pytest
+
+    from aiic_tpu.parallel import create_mesh
+    from aiic_tpu.train.trainer import TrainConfig, train_lora
+
+    for impl in ("pallas_vjp", "block_fused"):
+        with pytest.raises(ValueError, match="GSPMD"):
+            train_lora(
+                "nonexistent.json", None, config=CFG,
+                cfg=TrainConfig(epochs=1, batch_size=8, attn_impl=impl),
+                mesh=create_mesh(8, tp=2), log=lambda *_: None,
+            )

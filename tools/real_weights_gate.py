@@ -108,10 +108,12 @@ def main():
              "-k", "golden or sha256"],
             env={"AIIC_BPE_PATH": os.path.abspath(args.merges)},
         )
-        passed = rc == 0 and "skipped" not in out.split("\n")[-2]
+        lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+        tail = lines[-1] if lines else err.strip()[-300:]
+        passed = rc == 0 and bool(lines) and "passed" in tail and "skipped" not in tail
         results["tokenizer_golden_gate"] = {
             "status": "PASS" if passed else "FAIL",
-            "detail": out.strip().splitlines()[-1] if out.strip() else err[-300:],
+            "detail": tail,
         }
     else:
         results["tokenizer_golden_gate"] = {

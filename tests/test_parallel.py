@@ -309,3 +309,32 @@ def test_analyzer_with_mesh_matches_single_device():
         np.testing.assert_allclose(np.asarray(a[k], np.float32),
                                    np.asarray(b[k], np.float32),
                                    atol=1e-5, err_msg=k)
+
+
+def test_vitl14_tp4_sharded_encode_and_specs():
+    """ViT-L/14 — the geometry the 'model' axis exists for (1024-wide tower,
+    24 layers, 257 tokens): the TP pspecs apply cleanly (3072-wide fused QKV
+    over 'model'=4, 4096-wide MLP) and a sharded forward matches
+    single-device numerics."""
+    from aiic_tpu.models.config import VIT_L_14
+    from aiic_tpu.parallel.sharding import param_pspecs
+
+    params = init_clip_params(jax.random.PRNGKey(0), VIT_L_14)
+    specs = param_pspecs(params)
+    assert specs["visual"]["blocks"]["attn"]["wqkv"] is not None
+    # divisibility of every TP-sharded dim at tp=4
+    for tower in ("visual", "text"):
+        blocks = params[tower]["blocks"]
+        assert blocks["attn"]["wqkv"].shape[-1] % 4 == 0
+        assert blocks["mlp"]["w1"].shape[-1] % 4 == 0
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    ref = np.asarray(normalize_features(
+        encode_image(params, jnp.asarray(pixels), VIT_L_14)))
+    mesh = create_mesh(8, tp=4)
+    with mesh:
+        sp = shard_params(params, mesh)
+        out = np.asarray(normalize_features(
+            encode_image(sp, jnp.asarray(pixels), VIT_L_14)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)

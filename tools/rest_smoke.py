@@ -81,6 +81,10 @@ def main():
             lats.append((time.perf_counter() - t0) * 1e3)
         lats.sort()
 
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
+            metrics = json.loads(r.read().decode())
+        stages = {k: v for k, v in metrics.items() if k.startswith("stage_")}
+
         print(json.dumps({
             "metric": "rest_first_request_after_ready_ms",
             "value": round(first_ms, 1),
@@ -89,6 +93,9 @@ def main():
             "steady_p50_ms": round(lats[len(lats) // 2], 1),
             "no_cold_start_stall": first_ms < 5000.0,
             "is_interior": out.get("is_interior"),
+            "stage_timings": stages,
+            "stages_present": any(k.startswith("stage_serve_decode") for k in stages)
+            and any(k.startswith("stage_dispatch") for k in stages),
         }))
     finally:
         proc.send_signal(signal.SIGTERM)

@@ -270,6 +270,16 @@ def main(argv=None):
             print("WARMUP permanently failed — /ready will stay 503; "
                   "fix the cause and restart", flush=True)
 
+        import signal
+
+        def _graceful(_sig, _frm):
+            # Unwind instead of dying mid-RPC: a hard-killed TPU client
+            # leaves a stale device claim on the relay that wedges the chip
+            # for many minutes (docs/PERF_NOTES.md environment notes).
+            raise SystemExit(0)
+
+        signal.signal(signal.SIGTERM, _graceful)
+
         threading.Thread(target=_warm, daemon=True).start()
         server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port,
                              ready_fn=warmed.is_set)

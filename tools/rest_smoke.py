@@ -40,7 +40,11 @@ def main():
                 urllib.request.urlopen(base + "/health", timeout=2)
                 break
             except Exception:
-                if time.time() - t0 > 120:
+                if proc.poll() is not None:
+                    raise RuntimeError(f"server died rc={proc.returncode}")
+                if time.time() - t0 > 420:
+                    # engine construction (text-feature precompute on the
+                    # chip) runs before the server binds — ~2 min typical
                     raise RuntimeError("server never became live")
                 time.sleep(0.5)
         live_after = time.time() - t0

@@ -1,9 +1,13 @@
 """LoRA training-step throughput on the real chip (BASELINE config #4).
 
-    python tools/train_bench.py [batch] [iters] [int8]
+    python tools/train_bench.py [batch] [iters] [int8] [block]
 
-Synthetic batch (compute-path benchmark); prints steps/sec and images/sec to
-stderr and one JSON line to stdout.
+``int8`` quantizes the frozen image tower (serving-numerics adapters);
+``block`` selects the whole-text-block backward kernel (attn_impl
+block_fused — ~5-22 min first Mosaic compile, fastest steady state:
+2279 img/s at batch 512 with int8). Synthetic batch (compute-path
+benchmark); prints steps/sec and images/sec to stderr and one JSON line to
+stdout.
 """
 
 import json
@@ -26,10 +30,12 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    quantize = len(sys.argv) > 3 and sys.argv[3] == "int8"
+    quantize = "int8" in sys.argv[3:]
+    impl = "block_fused" if "block" in sys.argv[3:] else "auto"
     config = VIT_B_16
     tcfg = TrainConfig(epochs=1, batch_size=batch, rank=16, alpha=32,
-                       dtype=jnp.bfloat16, quantize_image=quantize)
+                       dtype=jnp.bfloat16, quantize_image=quantize,
+                       attn_impl=impl)
 
     params = init_clip_params(jax.random.PRNGKey(0), config)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)

@@ -111,6 +111,8 @@ def main():
         ("blockbwd_b512", 512, dict(attn_impl="block_fused"), False),
         ("blockbwd_int8", 256, dict(attn_impl="block_fused",
                                     quantize_image=True), False),
+        ("blockbwd_int8_b512", 512, dict(attn_impl="block_fused",
+                                         quantize_image=True), False),
     ]
     for name, batch, kw, patch in variants:
         if only and only != name:

@@ -28,6 +28,7 @@ embedding at the EOT position (argmax of token ids), projection to 512.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -231,6 +232,41 @@ def block(
         )
     if attn_impl == "block_fused":  # config not kernelizable -> fast default
         attn_impl = "pallas_vjp"
+
+    # Whole-block fused int8 kernel (ops/quant.int8_block): attn half + MLP
+    # half in ONE program, bit-identical to the kernel pair. MEASURED DEAD
+    # END as the default at ViT-B/16: the fused working set only fits VMEM
+    # at G=1, losing the pair's G=2 row-merge that amortizes the 197->224
+    # sublane padding (12% dead MACs on every projection) — bench.py 5588
+    # vs 6009 img/s (-7%), and the saved per-layer HBM round trip of y1
+    # doesn't cover it (docs/PERF_NOTES.md). Opt-in for geometries where
+    # G>=2 fits (smaller widths) via AIIC_FUSED_BLOCK=1.
+    if (
+        os.environ.get("AIIC_FUSED_BLOCK", "0") == "1"
+        and "attn_q" in p
+        and "mlp_q" in p
+        and attn_impl in ("pallas", "pallas_mlp")
+        and l_out is None
+        and l_fc is None
+        and l_proj is None
+        and gelu_type == "quick_gelu"
+        and x.dtype == jnp.bfloat16
+    ):
+        from aiic_tpu.ops.quant import int8_block
+
+        on_tpu = jax.default_backend() == "tpu"
+        aq, mq = p["attn_q"], p["mlp_q"]
+        fused = int8_block(
+            x, p["ln1"]["scale"], p["ln1"]["bias"],
+            aq["wqkv_q"], aq["sqkv"], p["attn"]["bqkv"], p["attn"]["wo"],
+            p["attn"]["bo"], mask,
+            p["ln2"]["scale"], p["ln2"]["bias"],
+            mq["w1_q"], mq["s1"], p["mlp"]["b1"],
+            mq["w2_q"], mq["s2"], p["mlp"]["b2"],
+            heads=heads, interpret=not on_tpu,
+        )
+        if fused is not None:
+            return fused
 
     # int8 attention half-block (ops/quant.py): selected when the params
     # carry quantized projection weights (quantize_model) on the bf16

@@ -42,13 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from aiic_tpu.ops.attention import (
-    LOG2E,
-    _denom_guard,
-    _mm_prec,
-    exp2_rows,
-    fused_attention_qkv,
-)
+from aiic_tpu.ops.attention import LOG2E, _denom_guard, _mm_prec, exp2_rows
 
 Params = Dict[str, Any]
 
@@ -199,6 +193,146 @@ def _text_block_bwd_kernel(
         dx_ref[gidx] = dx.astype(dx_ref.dtype)
 
 
+def _text_block_fwd_kernel(
+    x_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    aoA_ref, aoB_ref, afA_ref, afB_ref, apA_ref, apB_ref,
+    y_ref, *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+):
+    """Whole-block FORWARD in one program (the same math the backward kernel
+    recomputes — deliberately mirrored line-for-line so forward and backward
+    share numerics exactly)."""
+    width = heads * dim
+    prec = _mm_prec(x_ref.dtype)
+    mask = mask_ref[:] * jnp.float32(LOG2E)
+    cdt = x_ref.dtype
+
+    def dot(a, b, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    ln1s = ln1s_ref[:].astype(jnp.float32)
+    ln2s = ln2s_ref[:].astype(jnp.float32)
+
+    group = x_ref.shape[0]
+    for gidx in range(group):
+        x = x_ref[gidx]
+        xf = x.astype(jnp.float32)
+        h1f, _, _ = _ln_fwd(xf, ln1s, ln1b_ref[:].astype(jnp.float32), eps)
+        h1 = h1f.astype(cdt)
+        qkv = dot(h1, wqkv_ref[:], ((1,), (0,))) + bqkv_ref[:].astype(jnp.float32)
+        qkv = qkv.astype(cdt)
+
+        outs = []
+        for hd in range(heads):
+            q = qkv[:, hd * dim:(hd + 1) * dim]
+            k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+            v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            qs = q * jnp.asarray(scale * LOG2E, cdt)
+            s = dot(qs, k, ((1,), (1,)))
+            p = exp2_rows(s + mask)
+            p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
+            outs.append(dot(p, v, ((1,), (0,))).astype(cdt))
+        a = jnp.concatenate(outs, axis=-1)
+
+        a_ao = dot(a, aoA_ref[:], ((1,), (0,)))
+        ao = (dot(a, wo_ref[:], ((1,), (0,)))
+              + bo_ref[:].astype(jnp.float32)
+              + scaling * dot(a_ao, aoB_ref[:], ((1,), (0,))))
+        y1 = xf + ao
+
+        h2f, _, _ = _ln_fwd(y1, ln2s, ln2b_ref[:].astype(jnp.float32), eps)
+        h2 = h2f.astype(cdt)
+        h2_af = dot(h2, afA_ref[:], ((1,), (0,)))
+        f = (dot(h2, w1_ref[:], ((1,), (0,)))
+             + b1_ref[:].astype(jnp.float32)
+             + scaling * dot(h2_af, afB_ref[:], ((1,), (0,))))
+        u, _sig = _qgelu_fwd(f)
+        u_c = u.astype(cdt)
+        u_ap = dot(u_c, apA_ref[:], ((1,), (0,)))
+        mo = (dot(u_c, w2_ref[:], ((1,), (0,)))
+              + b2_ref[:].astype(jnp.float32)
+              + scaling * dot(u_ap, apB_ref[:], ((1,), (0,))))
+        y_ref[gidx] = (y1 + mo).astype(y_ref.dtype)
+
+
+def _weight_operands(bp: Params, lora: Params, cdt):
+    def row(v):
+        return v.reshape(1, -1)
+
+    return (
+        row(bp["ln1"]["scale"]).astype(cdt), row(bp["ln1"]["bias"]).astype(cdt),
+        row(bp["ln2"]["scale"]).astype(cdt), row(bp["ln2"]["bias"]).astype(cdt),
+        bp["attn"]["wqkv"].astype(cdt), row(bp["attn"]["bqkv"]).astype(cdt),
+        bp["attn"]["wo"].astype(cdt), row(bp["attn"]["bo"]).astype(cdt),
+        bp["mlp"]["w1"].astype(cdt), row(bp["mlp"]["b1"]).astype(cdt),
+        bp["mlp"]["w2"].astype(cdt), row(bp["mlp"]["b2"]).astype(cdt),
+        lora["out_proj"]["A"].astype(cdt), lora["out_proj"]["B"].astype(cdt),
+        lora["c_fc"]["A"].astype(cdt), lora["c_fc"]["B"].astype(cdt),
+        lora["c_proj"]["A"].astype(cdt), lora["c_proj"]["B"].astype(cdt),
+    )
+
+
+def _weight_specs(width: int, mlp: int, r_o: int, r_f: int, r_p: int):
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    return [
+        full((1, width)), full((1, width)), full((1, width)), full((1, width)),
+        full((width, 3 * width)), full((1, 3 * width)),
+        full((width, width)), full((1, width)),
+        full((width, mlp)), full((1, mlp)), full((mlp, width)), full((1, width)),
+        full((width, r_o)), full((r_o, width)),
+        full((width, r_f)), full((r_f, mlp)),
+        full((mlp, r_p)), full((r_p, width)),
+    ]
+
+
+def text_block_fwd(
+    x: jnp.ndarray, mask: jnp.ndarray, bp: Params, lora: Params, *,
+    heads: int, scaling: float, eps: float = 1e-5, interpret: bool = False,
+) -> jnp.ndarray:
+    """(B,S,W) -> (B,S,W): the whole text block forward in one program."""
+    bsz, seq, width = x.shape
+    dim = width // heads
+    mlp = bp["mlp"]["w1"].shape[-1]
+    r_o = lora["out_proj"]["A"].shape[-1]
+    r_f = lora["c_fc"]["A"].shape[-1]
+    r_p = lora["c_proj"]["A"].shape[-1]
+    cdt = x.dtype
+
+    group = 2 if x.dtype.itemsize <= 2 else 1
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_text_block_fwd_kernel, heads=heads, dim=dim,
+                          scale=dim ** -0.5, scaling=scaling, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        grid=(bsz // group,),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((seq, seq)),
+            *_weight_specs(width, mlp, r_o, r_f, r_p),
+        ],
+        out_specs=pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * seq * width * (4 * width + 2 * mlp)
+            + 4 * bsz * heads * seq * seq * dim,
+            bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+            + (3 * width * width + 2 * width * mlp) * x.dtype.itemsize,
+            transcendentals=bsz * (heads * seq * seq + seq * mlp),
+        ),
+        interpret=interpret,
+    )(x, mask.astype(jnp.float32), *_weight_operands(bp, lora, cdt))
+
+
 def text_block_bwd(
     x: jnp.ndarray, dy: jnp.ndarray, mask: jnp.ndarray,
     bp: Params, lora: Params, *,
@@ -212,9 +346,6 @@ def text_block_bwd(
     r_f = lora["c_fc"]["A"].shape[-1]
     r_p = lora["c_proj"]["A"].shape[-1]
     cdt = x.dtype
-
-    def row(v):
-        return v.reshape(1, -1)
 
     # Group images per grid step to amortize per-program overhead (the S=77
     # dots are small); bf16 fits 2 per step under the ~16 MB VMEM budget
@@ -244,13 +375,7 @@ def text_block_bwd(
             pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             full((seq, seq)),
-            full((1, width)), full((1, width)), full((1, width)), full((1, width)),
-            full((width, 3 * width)), full((1, 3 * width)),
-            full((width, width)), full((1, width)),
-            full((width, mlp)), full((1, mlp)), full((mlp, width)), full((1, width)),
-            full((width, r_o)), full((r_o, width)),
-            full((width, r_f)), full((r_f, mlp)),
-            full((mlp, r_p)), full((r_p, width)),
+            *_weight_specs(width, mlp, r_o, r_f, r_p),
         ],
         out_specs=(
             pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -267,18 +392,8 @@ def text_block_bwd(
             transcendentals=bsz * (heads * seq * seq + seq * mlp),
         ),
         interpret=interpret,
-    )(
-        x, dy.astype(x.dtype), mask.astype(jnp.float32),
-        row(bp["ln1"]["scale"]).astype(cdt), row(bp["ln1"]["bias"]).astype(cdt),
-        row(bp["ln2"]["scale"]).astype(cdt), row(bp["ln2"]["bias"]).astype(cdt),
-        bp["attn"]["wqkv"].astype(cdt), row(bp["attn"]["bqkv"]).astype(cdt),
-        bp["attn"]["wo"].astype(cdt), row(bp["attn"]["bo"]).astype(cdt),
-        bp["mlp"]["w1"].astype(cdt), row(bp["mlp"]["b1"]).astype(cdt),
-        bp["mlp"]["w2"].astype(cdt), row(bp["mlp"]["b2"]).astype(cdt),
-        lora["out_proj"]["A"].astype(cdt), lora["out_proj"]["B"].astype(cdt),
-        lora["c_fc"]["A"].astype(cdt), lora["c_fc"]["B"].astype(cdt),
-        lora["c_proj"]["A"].astype(cdt), lora["c_proj"]["B"].astype(cdt),
-    )
+    )(x, dy.astype(x.dtype), mask.astype(jnp.float32),
+      *_weight_operands(bp, lora, cdt))
     dx = outs[0]
     z = lora  # dtype template
     dlora = {
@@ -297,43 +412,6 @@ def text_block_bwd(
 # ---------------------------------------------------------------------------
 
 
-def _block_fwd_compose(x, bp, lora, mask, heads, scaling, interpret):
-    """Forward composition matching the kernel's recompute numerics: Pallas
-    clamped-exp2 attention core, fp32 LN/gelu, LoRA at the reference attach
-    set. (Inline rather than models.clip to avoid an import cycle.)"""
-    cdt = x.dtype
-
-    def lin(v, w, b=None):
-        y = jnp.dot(v, w.astype(cdt), preferred_element_type=jnp.float32)
-        if b is not None:
-            y = y + b.astype(jnp.float32)
-        return y
-
-    def lora_delta(v, f):
-        down = jnp.dot(v, f["A"].astype(cdt), preferred_element_type=jnp.float32)
-        up = jnp.dot(down.astype(cdt), f["B"].astype(cdt),
-                     preferred_element_type=jnp.float32)
-        return scaling * up
-
-    def ln(v, p):
-        vf = v.astype(jnp.float32)
-        out, _, _ = _ln_fwd(vf, p["scale"].astype(jnp.float32),
-                            p["bias"].astype(jnp.float32), 1e-5)
-        return out
-
-    h1 = ln(x, bp["ln1"]).astype(cdt)
-    qkv = (lin(h1, bp["attn"]["wqkv"], bp["attn"]["bqkv"])).astype(cdt)
-    a = fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
-    a = a.reshape(x.shape)
-    ao = lin(a, bp["attn"]["wo"], bp["attn"]["bo"]) + lora_delta(a, lora["out_proj"])
-    y1 = x.astype(jnp.float32) + ao
-    h2 = ln(y1, bp["ln2"]).astype(cdt)
-    f = lin(h2, bp["mlp"]["w1"], bp["mlp"]["b1"]) + lora_delta(h2, lora["c_fc"])
-    u = (f * jax.nn.sigmoid(1.702 * f)).astype(cdt)
-    mo = lin(u, bp["mlp"]["w2"], bp["mlp"]["b2"]) + lora_delta(u, lora["c_proj"])
-    return (y1 + mo).astype(x.dtype)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def text_block_lora(x, bp, lora, mask, heads, scaling, interpret=False):
     """One training text block with a HAND-WRITTEN whole-block backward.
@@ -343,11 +421,13 @@ def text_block_lora(x, bp, lora, mask, heads, scaling, interpret=False):
     construction in the trainer — the zeros are dead code XLA removes).
     ``mask`` must be a concrete (S, S) additive array.
     """
-    return _block_fwd_compose(x, bp, lora, mask, heads, scaling, interpret)
+    return text_block_fwd(x, mask, bp, lora, heads=heads, scaling=scaling,
+                          interpret=interpret)
 
 
 def _tb_fwd(x, bp, lora, mask, heads, scaling, interpret):
-    y = _block_fwd_compose(x, bp, lora, mask, heads, scaling, interpret)
+    y = text_block_fwd(x, mask, bp, lora, heads=heads, scaling=scaling,
+                       interpret=interpret)
     return y, (x, bp, lora, mask)
 
 

@@ -227,54 +227,12 @@ def _int8_attn_kernel(
     # (12% dead MACs), merged they pad once. Only the per-image softmax core
     # runs per slab (each image has its own mask/normalization).
     x = x_ref[:].reshape(group * seq, width)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    h = (xf - mean) * jax.lax.rsqrt(var + eps)
-    h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
-
-    hq, hscale = _row_quant(h)
-    acc = jax.lax.dot_general(
-        hq, wqkv_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,  # int8 MACs; see int8 MLP note
+    out = _int8_attn_group(
+        x, ln_s_ref[:], ln_b_ref[:], wqkv_ref[:], sqkv_ref[:], bqkv_ref[:],
+        wo_ref[:], bo_ref[:], mask,
+        group=group, seq=seq, heads=heads, dim=dim, eps=eps, scale=scale,
     )
-    qkv = acc.astype(jnp.float32) * hscale * sqkv_ref[:] + bqkv_ref[:].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)  # (G*S, 3W)
-
-    attns = []
-    for g in range(group):
-        tile = qkv[g * seq:(g + 1) * seq]
-        outs = []
-        for hd in range(heads):
-            q = tile[:, hd * dim:(hd + 1) * dim]
-            k = tile[:, width + hd * dim: width + (hd + 1) * dim]
-            v = tile[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
-            # scale·log2(e) folded into Q; softmax via clamped exp2 with the
-            # denominator folded past the p@v matmul (ops/attention.exp2_rows)
-            q = q * jnp.asarray(scale * LOG2E, q.dtype)
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mm_prec(q.dtype),
-            )
-            p = exp2_rows(s + mask)
-            denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
-            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
-                        precision=_mm_prec(v.dtype))
-            outs.append(o * (1.0 / denom))
-        attns.append(jnp.concatenate(outs, axis=-1))  # (S, W) fp32
-    attn = jnp.concatenate(attns, axis=0)  # (G*S, W)
-
-    out = jax.lax.dot_general(
-        attn.astype(x.dtype), wo_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_mm_prec(x.dtype),
-    )
-    out = out + bo_ref[:].astype(jnp.float32)
-    o_ref[:] = (xf + out).astype(o_ref.dtype).reshape(group, seq, width)
+    o_ref[:] = out.reshape(group, seq, width)
 
 
 def _attn_vmem_bytes(group: int, seq: int, width: int, itemsize: int) -> int:
@@ -403,6 +361,215 @@ def int8_ln_qkv_attention(
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo, full_mask)
     return out
+
+
+def _int8_attn_group(x, ln_s, ln_b, wqkv, sqkv, bqkv, wo, bo, mask,
+                     *, group, seq, heads, dim, eps, scale):
+    """The int8 attention half-block on a (G·S, W) VMEM slab — the exact
+    math of ``_int8_attn_kernel`` factored out so the fused whole-block
+    kernel shares it line for line (bit-identical numerics)."""
+    width = heads * dim
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+
+    hq, hscale = _row_quant(h)
+    acc = jax.lax.dot_general(
+        hq, wqkv,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int8 MACs; see int8 MLP note
+    )
+    qkv = acc.astype(jnp.float32) * hscale * sqkv + bqkv.astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)  # (G*S, 3W)
+
+    attns = []
+    for g in range(group):
+        tile = qkv[g * seq:(g + 1) * seq]
+        outs = []
+        for hd in range(heads):
+            q = tile[:, hd * dim:(hd + 1) * dim]
+            k = tile[:, width + hd * dim: width + (hd + 1) * dim]
+            v = tile[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            q = q * jnp.asarray(scale * LOG2E, q.dtype)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_prec(q.dtype),
+            )
+            p = exp2_rows(s + mask)
+            denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                        precision=_mm_prec(v.dtype))
+            outs.append(o * (1.0 / denom))
+        attns.append(jnp.concatenate(outs, axis=-1))  # (S, W) fp32
+    attn = jnp.concatenate(attns, axis=0)  # (G*S, W)
+
+    out = jax.lax.dot_general(
+        attn.astype(x.dtype), wo,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_prec(x.dtype),
+    )
+    out = out + bo.astype(jnp.float32)
+    return (xf + out).astype(x.dtype)
+
+
+def _int8_block_kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    mask_ref, ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+    b2_ref, o_ref, *, heads: int, dim: int, scale: float, eps: float,
+):
+    """Whole transformer block (int8 attention half + int8 MLP half) in ONE
+    program. vs the attn/MLP kernel pair this removes one full HBM
+    round trip of the (B, S, W) activation per layer (the y1 intermediate
+    never leaves VMEM) plus half the per-program launches. The attention
+    output is cast to the block dtype before the MLP half — exactly what
+    the kernel boundary did — so numerics are bit-identical to the pair."""
+    width = heads * dim
+    mask = mask_ref[:] * jnp.float32(LOG2E)
+    group, seq, _ = x_ref.shape
+    x = x_ref[:].reshape(group * seq, width)
+    y1 = _int8_attn_group(
+        x, ln1s_ref[:], ln1b_ref[:], wqkv_ref[:], sqkv_ref[:], bqkv_ref[:],
+        wo_ref[:], bo_ref[:], mask,
+        group=group, seq=seq, heads=heads, dim=dim, eps=eps, scale=scale,
+    )
+    out = _int8_mlp_rows(
+        y1, ln2s_ref[:], ln2b_ref[:], w1_ref[:], s1_ref[:], b1_ref[:],
+        w2_ref[:], s2_ref[:], b2_ref[:], eps,
+    )
+    o_ref[:] = out.reshape(group, seq, width)
+
+
+def _block_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
+                      itemsize: int) -> int:
+    """Peak-live VMEM for the fused block kernel: weights + in/out blocks
+    stay resident for the whole program; the attention- and MLP-half
+    temporaries are disjoint in time (Mosaic reuses the storage), so only
+    the larger of the two stages counts."""
+    rows = group * seq
+    resident = (
+        2 * rows * width * itemsize       # x in + out blocks
+        + 3 * width * width               # int8 wqkv
+        + width * width * itemsize        # bf16 wo
+        + 2 * width * mlp_dim             # int8 MLP weight pair
+        + rows * width * 4                # fp32 residual carrier (xf / y1f)
+    )
+    attn_stage = (
+        rows * 3 * width * 4              # int32 QKV accumulator
+        + rows * 3 * width * itemsize     # dequantized qkv
+        + 2 * seq * seq * 4               # mask + one live score matrix
+        + rows * width * 4                # attn concat (fp32)
+    )
+    mlp_stage = (
+        rows * width * 4                  # LN2 output (fp32)
+        + rows * mlp_dim * 4              # int32 accumulator / fp32 gelu slab
+        + rows * mlp_dim                  # int8 quantized gelu output
+    )
+    return resident + max(attn_stage, mlp_stage)
+
+
+def int8_block(
+    x: jnp.ndarray,
+    ln1_scale: jnp.ndarray,
+    ln1_bias: jnp.ndarray,
+    wqkv_q: jnp.ndarray,
+    sqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    mask,
+    ln2_scale: jnp.ndarray,
+    ln2_bias: jnp.ndarray,
+    w1_q: jnp.ndarray,
+    s1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2_q: jnp.ndarray,
+    s2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    heads: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """(B, S, W) -> (B, S, W): one whole int8 transformer block per program.
+
+    Returns ``None`` when the geometry's working set exceeds the VMEM
+    budget even at G=1 (e.g. ViT-L/14) — the caller falls back to the
+    attn/MLP kernel pair, which blocks the two halves separately.
+
+    MEASURED DEAD END as the ViT-B/16 serving default (bench.py B=512:
+    5588 vs 6009 img/s for the pair): the fused working set forces G=1,
+    losing the pair's G=2 row-merge that amortizes 197->224 sublane
+    padding (12% dead MACs on every projection); the saved per-layer HBM
+    round trip of the y1 intermediate (~0.4 ms/layer at B=512) doesn't
+    cover the padding tax. Kept opt-in (models.clip: AIIC_FUSED_BLOCK=1)
+    for geometries where G>=2 fits the fused budget.
+    """
+    bsz, seq, width = x.shape
+    dim = width // heads
+    scale = dim ** -0.5
+    mlp_dim = w1_q.shape[-1]
+
+    group = 2 if x.dtype.itemsize <= 2 else 1
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+    while group > 1 and _block_vmem_bytes(group, seq, width, mlp_dim,
+                                          x.dtype.itemsize) > _VMEM_BUDGET:
+        group //= 2
+    if _block_vmem_bytes(group, seq, width, mlp_dim,
+                         x.dtype.itemsize) > _VMEM_BUDGET:
+        return None
+
+    ln1_scale = ln1_scale.reshape(1, width)
+    ln1_bias = ln1_bias.reshape(1, width)
+    sqkv = sqkv.reshape(1, 3 * width)
+    bqkv = bqkv.reshape(1, 3 * width)
+    bo = bo.reshape(1, width)
+    wo = wo.astype(x.dtype)
+    ln2_scale = ln2_scale.reshape(1, width)
+    ln2_bias = ln2_bias.reshape(1, width)
+    s1 = s1.reshape(1, mlp_dim)
+    b1 = b1.reshape(1, mlp_dim)
+    s2 = s2.reshape(1, width)
+    b2 = b2.reshape(1, width)
+    full_mask = (jnp.zeros((seq, seq), jnp.float32) if mask is None
+                 else mask.astype(jnp.float32))
+
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _int8_block_kernel, heads=heads, dim=dim, scale=scale, eps=eps
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        grid=(bsz // group,),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((1, width)), full((1, width)),
+            full((width, 3 * width)), full((1, 3 * width)), full((1, 3 * width)),
+            full((width, width)), full((1, width)),
+            full((seq, seq)),
+            full((1, width)), full((1, width)),
+            full((width, mlp_dim)), full((1, mlp_dim)), full((1, mlp_dim)),
+            full((mlp_dim, width)), full((1, width)), full((1, width)),
+        ],
+        out_specs=pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * seq * width * (4 * width + 2 * mlp_dim)
+            + 4 * bsz * heads * seq * seq * dim,
+            bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+            + 4 * width * width + 2 * width * mlp_dim,
+            transcendentals=bsz * (heads * seq * seq + seq * mlp_dim),
+        ),
+        interpret=interpret,
+    )(x, ln1_scale, ln1_bias, wqkv_q, sqkv, bqkv, wo, bo, full_mask,
+      ln2_scale, ln2_bias, w1_q, s1, b1, w2_q, s2, b2)
 
 
 def quantize_attn_blocks(blocks: Dict[str, Any]) -> Dict[str, Any]:

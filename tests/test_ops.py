@@ -527,3 +527,93 @@ def test_attention_bwd_kernel_text_geometry_causal():
     got = fused_attention_qkv_bwd(qkv, mask, g, heads=heads, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int8_fused_block_bit_identical_to_kernel_pair():
+    """The whole-block int8 kernel (ops/quant.int8_block) vs the
+    attn-kernel + MLP-kernel pair at ViT-B/16 geometry: the fused program
+    casts the attention output to the block dtype in-kernel — exactly what
+    the kernel boundary did — so the composition must match bit for bit."""
+    from aiic_tpu.ops.quant import (
+        int8_block, int8_ln_mlp, int8_ln_qkv_attention, quantize_weight,
+    )
+
+    rng = np.random.default_rng(31)
+    b, s, w, heads, m = 2, 197, 768, 12, 3072
+    x = jnp.asarray((rng.standard_normal((b, s, w)) * 0.3).astype(np.float32),
+                    jnp.bfloat16)
+    ln1_s = jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln1_b = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln2_s = jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln2_b = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.03).astype(np.float32))
+    bqkv = jnp.asarray((0.1 * rng.standard_normal(3 * w)).astype(np.float32))
+    wo = jnp.asarray((rng.standard_normal((w, w)) * 0.03).astype(np.float32))
+    bo = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((w, m)) * 0.03).astype(np.float32))
+    b1 = jnp.asarray((0.1 * rng.standard_normal(m)).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((m, w)) * 0.03).astype(np.float32))
+    b2 = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    wqkv_q, sqkv = quantize_weight(wqkv)
+    w1_q, s1 = quantize_weight(w1)
+    w2_q, s2 = quantize_weight(w2)
+
+    pair = int8_ln_mlp(
+        int8_ln_qkv_attention(
+            x, ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wo, bo, None,
+            heads=heads, interpret=True),
+        ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2, interpret=True)
+    fused = int8_block(
+        x, ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wo, bo, None,
+        ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2,
+        heads=heads, interpret=True)
+    assert fused is not None  # ViT-B/16 must fit the fused-kernel VMEM budget
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(pair, np.float32))
+
+
+def test_int8_fused_block_large_geometry_falls_back():
+    """ViT-L/14 geometry (W=1024, M=4096, S=257) exceeds the fused-block
+    VMEM budget even at G=1 — int8_block returns None and clip.block keeps
+    running the kernel pair (whose own guards handle the geometry)."""
+    from aiic_tpu.ops.quant import _VMEM_BUDGET, _block_vmem_bytes, int8_block
+
+    assert _block_vmem_bytes(1, 257, 1024, 4096, 2) > _VMEM_BUDGET
+    # ViT-B/16 fits at G=1 but not G=2
+    assert _block_vmem_bytes(1, 197, 768, 3072, 2) <= _VMEM_BUDGET
+    assert _block_vmem_bytes(2, 197, 768, 3072, 2) > _VMEM_BUDGET
+
+    rng = np.random.default_rng(0)
+    b, s, w, heads, m = 1, 257, 1024, 16, 4096
+    x = jnp.asarray((rng.standard_normal((b, s, w)) * 0.1).astype(np.float32),
+                    jnp.bfloat16)
+    zeros = lambda *shape: jnp.zeros(shape, jnp.float32)
+    out = int8_block(
+        x, jnp.ones((w,)), zeros(w),
+        jnp.zeros((w, 3 * w), jnp.int8), jnp.ones((1, 3 * w)), zeros(3 * w),
+        zeros(w, w), zeros(w), None,
+        jnp.ones((w,)), zeros(w),
+        jnp.zeros((w, m), jnp.int8), jnp.ones((1, m)), zeros(m),
+        jnp.zeros((m, w), jnp.int8), jnp.ones((1, w)), zeros(w),
+        heads=heads, interpret=True)
+    assert out is None
+
+
+def test_int8_fused_block_env_gate_wiring(monkeypatch):
+    """AIIC_FUSED_BLOCK=1 routes the quantized bf16 tower through
+    ops/quant.int8_block with output identical to the default kernel-pair
+    path (the fused kernel is bit-identical by construction)."""
+    from aiic_tpu.models import TINY_TEST, encode_image, init_clip_params
+    from aiic_tpu.ops.quant import quantize_model
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    qparams = quantize_model(params)
+    px = jax.random.uniform(jax.random.PRNGKey(1),
+                            (2, TINY_TEST.image_size, TINY_TEST.image_size, 3),
+                            jnp.bfloat16)
+    base = np.asarray(encode_image(qparams, px, TINY_TEST, dtype=jnp.bfloat16,
+                                   attn_impl="pallas"), np.float32)
+    monkeypatch.setenv("AIIC_FUSED_BLOCK", "1")
+    fused = np.asarray(encode_image(qparams, px, TINY_TEST, dtype=jnp.bfloat16,
+                                    attn_impl="pallas"), np.float32)
+    np.testing.assert_array_equal(fused, base)

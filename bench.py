@@ -41,10 +41,10 @@ def main():
     from aiic_tpu.models import VIT_B_16, init_clip_params
 
     config = VIT_B_16
-    # B=512 measured +2.6% over B=256 (6008 vs 5857 img/s pipelined) — the
-    # last of the grid amortization; single-image p50 is measured separately
-    # and unaffected by this default.
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # Grid amortization: B=512 measured +2.6% over B=256 (6008 vs 5857
+    # img/s pipelined) and B=1024 another +0.9% (6049 vs 5996); single-image
+    # p50 is measured separately and unaffected by this default.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     dtype = jnp.bfloat16
 

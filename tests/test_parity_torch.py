@@ -223,12 +223,9 @@ def test_serving_config_compound_parity(oracle, ref_root):
     np.testing.assert_array_equal(our_verdict, ref_verdict)
 
 
-def test_openai_layout_converter_consistent_with_hf(oracle):
-    """Build the OpenAI ``clip``-package state dict layout from the same HF
-    weights and require both converters to produce identical pytrees."""
-    model, params_hf = oracle
-    sd = model.state_dict()
-
+def _openai_sd_from_hf(sd, vision_layers=12, text_layers=12):
+    """Rebuild the OpenAI ``clip``-package state-dict layout from HF weights
+    (the transformation the two converters must agree about)."""
     openai_sd = {}
 
     def put_tower(hf_prefix, oa_prefix, layers):
@@ -252,8 +249,8 @@ def test_openai_layout_converter_consistent_with_hf(oracle):
             openai_sd[f"{o}.mlp.c_proj.weight"] = sd[f"{h}.mlp.fc2.weight"]
             openai_sd[f"{o}.mlp.c_proj.bias"] = sd[f"{h}.mlp.fc2.bias"]
 
-    put_tower("vision_model", "visual.transformer", 12)
-    put_tower("text_model", "transformer", 12)
+    put_tower("vision_model", "visual.transformer", vision_layers)
+    put_tower("text_model", "transformer", text_layers)
     openai_sd["visual.conv1.weight"] = sd["vision_model.embeddings.patch_embedding.weight"]
     openai_sd["visual.class_embedding"] = sd["vision_model.embeddings.class_embedding"]
     openai_sd["visual.positional_embedding"] = sd["vision_model.embeddings.position_embedding.weight"]
@@ -268,8 +265,73 @@ def test_openai_layout_converter_consistent_with_hf(oracle):
     openai_sd["ln_final.bias"] = sd["text_model.final_layer_norm.bias"]
     openai_sd["text_projection"] = sd["text_projection.weight"].t().contiguous()
     openai_sd["logit_scale"] = sd["logit_scale"]
+    return openai_sd
+
+
+def test_openai_layout_converter_consistent_with_hf(oracle):
+    """Build the OpenAI ``clip``-package state dict layout from the same HF
+    weights and require both converters to produce identical pytrees."""
+    model, params_hf = oracle
+    openai_sd = _openai_sd_from_hf(model.state_dict())
 
     params_oa = from_openai_clip_state_dict(openai_sd, VIT_B_16)
+    flat_hf = jax.tree.leaves(params_hf)
+    flat_oa = jax.tree.leaves(params_oa)
+    assert len(flat_hf) == len(flat_oa)
+    for a, b in zip(flat_hf, flat_oa):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_converters_agree_at_vit_l14_geometry():
+    """Both weight converters at ViT-L/14 geometry (asymmetric towers:
+    vision 1024x24 H=16 patch-14 / text 768x12 H=12, 768-dim projection) —
+    the scale the 'model' mesh axis exists for. Catches any residual
+    ViT-B/16 assumptions (per-tower layer counts, head splits, S=257
+    position table) in from_hf/from_openai. Converter-level only: the L/14
+    forward pass is exercised by the sharded-encode tests in
+    tests/test_parallel.py."""
+    from transformers import CLIPConfig as HFCLIPConfig
+    from transformers import CLIPModel
+
+    from aiic_tpu.models.config import VIT_L_14
+
+    cfg = HFCLIPConfig(
+        text_config={
+            "hidden_size": 768,
+            "intermediate_size": 3072,
+            "num_hidden_layers": 12,
+            "num_attention_heads": 12,
+            "max_position_embeddings": 77,
+            "vocab_size": 49408,
+            "hidden_act": "quick_gelu",
+            "eos_token_id": 49407,
+        },
+        vision_config={
+            "hidden_size": 1024,
+            "intermediate_size": 4096,
+            "num_hidden_layers": 24,
+            "num_attention_heads": 16,
+            "image_size": 224,
+            "patch_size": 14,
+            "hidden_act": "quick_gelu",
+        },
+        projection_dim=768,
+    )
+    torch.manual_seed(1)
+    model = CLIPModel(cfg).eval()
+    sd = model.state_dict()
+
+    params_hf = from_hf_clip_state_dict(sd, VIT_L_14)
+    # stacked-tower shapes at L/14 geometry
+    vb = params_hf["visual"]["blocks"]
+    assert vb["attn"]["wqkv"].shape == (24, 1024, 3072)
+    assert vb["mlp"]["w1"].shape == (24, 1024, 4096)
+    assert params_hf["visual"]["pos"].shape[0] == VIT_L_14.vision_seq_len  # 257
+    assert params_hf["text"]["blocks"]["attn"]["wqkv"].shape == (12, 768, 2304)
+    assert params_hf["visual"]["proj"].shape == (1024, 768)
+
+    params_oa = from_openai_clip_state_dict(
+        _openai_sd_from_hf(sd, vision_layers=24, text_layers=12), VIT_L_14)
     flat_hf = jax.tree.leaves(params_hf)
     flat_oa = jax.tree.leaves(params_oa)
     assert len(flat_hf) == len(flat_oa)

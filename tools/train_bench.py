@@ -5,7 +5,7 @@
 ``int8`` quantizes the frozen image tower (serving-numerics adapters);
 ``block`` selects the whole-text-block backward kernel (attn_impl
 block_fused — ~5-22 min first cold Mosaic compile, fastest steady state:
-2522 img/s at batch 512 with int8). Synthetic batch (compute-path
+2681 img/s at batch 1024 with int8). Synthetic batch (compute-path
 benchmark); prints steps/sec and images/sec to stderr and one JSON line to
 stdout.
 """

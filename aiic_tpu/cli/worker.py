@@ -153,6 +153,20 @@ def main(argv=None):
 
         mesh = create_mesh(args.mesh_devices, tp=1)  # serving is pure DP
 
+    # Install the graceful-termination handler BEFORE the engine is built:
+    # analyzer construction is the longest startup phase (~minutes of weight
+    # upload + text-feature precompute on the chip), and a SIGTERM landing in
+    # that window under the default disposition hard-kills the process
+    # mid-TPU-RPC — the stale device claim then wedges the chip for many
+    # minutes (docs/PERF_NOTES.md environment notes). Raising SystemExit
+    # instead unwinds the client cleanly from any phase.
+    import signal
+
+    def _graceful(_sig, _frm):
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _graceful)
+
     params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
     analyzer = InteriorAnalyzer(
         params=params,
@@ -270,16 +284,7 @@ def main(argv=None):
             print("WARMUP permanently failed — /ready will stay 503; "
                   "fix the cause and restart", flush=True)
 
-        import signal
-
-        def _graceful(_sig, _frm):
-            # Unwind instead of dying mid-RPC: a hard-killed TPU client
-            # leaves a stale device claim on the relay that wedges the chip
-            # for many minutes (docs/PERF_NOTES.md environment notes).
-            raise SystemExit(0)
-
-        signal.signal(signal.SIGTERM, _graceful)
-
+        # SIGTERM handler was installed before engine construction (above).
         threading.Thread(target=_warm, daemon=True).start()
         server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port,
                              ready_fn=warmed.is_set)

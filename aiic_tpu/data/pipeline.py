@@ -42,6 +42,7 @@ class PrefetchingLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _SENTINEL = object()
+        error: List[BaseException] = []
 
         def produce():
             try:
@@ -51,6 +52,12 @@ class PrefetchingLoader:
                         chunk, self.size, num_threads=self.num_threads
                     )
                     q.put((pixels, ok, (start, start + len(chunk))))
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                # Propagate producer failures to the consumer instead of
+                # silently truncating the stream: a swallowed exception here
+                # would make analyze_images_batch return PARTIAL results with
+                # rc=0 (every path after the failure point simply missing).
+                error.append(e)
             finally:
                 q.put(_SENTINEL)
 
@@ -59,5 +66,7 @@ class PrefetchingLoader:
         while True:
             item = q.get()
             if item is _SENTINEL:
+                if error:
+                    raise error[0]
                 break
             yield item

@@ -263,11 +263,15 @@ class InteriorAnalyzer:
             # dedupe on the FINAL bucket a live request of size b would
             # compile (same bucket_size-then-round order as _dispatch_chunk;
             # rounding first would precompile buckets nothing ever hits)
-            fb = self._final_bucket(b, max(self.max_batch, b))
+            cap = max(self.max_batch, b)
+            fb = self._final_bucket(b, cap)
             if fb in seen:
                 continue
             seen.add(fb)
-            self.classify_pixels(np.zeros((b, s, s, 3), np.uint8))
+            # pass the same cap the dedupe key used: without it a warm size
+            # b > max_batch would chunk into max_batch-row dispatches and the
+            # claimed fb bucket would never actually compile
+            self.classify_pixels(np.zeros((b, s, s, 3), np.uint8), max_batch=cap)
 
     def classify_pixels(
         self, pixels: np.ndarray, max_batch: Optional[int] = None
@@ -435,7 +439,16 @@ class InteriorAnalyzer:
         ``batch_size`` caps the device bucket for this call only.
         ``device_resize``: decode-only on the host, bicubic resize on the
         device as matmuls (local JPEGs only, grouped by source geometry —
-        see _analyze_device_resize for the trade-offs)."""
+        see _analyze_device_resize for the trade-offs). Not supported under
+        a mesh (the per-geometry resize programs are single-device); a
+        mesh-backed analyzer warns and uses the host-resize streaming path."""
+        if device_resize and self.mesh is not None:
+            import warnings
+
+            warnings.warn(
+                "device_resize=True is ignored under a mesh (per-geometry "
+                "resize programs are single-device); using the host-resize "
+                "streaming path", stacklevel=2)
         results: Dict[str, Dict[str, Any]] = {}
         good_paths: List[str] = []
         pixel_list: List[np.ndarray] = []

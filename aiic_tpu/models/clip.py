@@ -213,12 +213,19 @@ def block(
     # (ops/block_grad): LN1+attention+out_proj+LN2+MLP and all six LoRA
     # cotangents in ONE program recomputing intermediates in VMEM.
     # Requires the full reference attach set and no dropout.
+    if attn_impl == "block_fused":
+        from aiic_tpu.ops.block_grad import text_block_fits
+
+        _fits = text_block_fits(
+            x.shape[1], x.shape[2], p["mlp"]["w1"].shape[-1], heads,
+            x.dtype.itemsize)
     if (
         attn_impl == "block_fused"
         and lora is not None
         and all(k in lora for k in ("out_proj", "c_fc", "c_proj"))
         and lora_dropout == 0.0
         and gelu_type == "quick_gelu"
+        and _fits  # larger towers exceed the whole-block VMEM budget
     ):
         from aiic_tpu.ops.block_grad import text_block_lora
 

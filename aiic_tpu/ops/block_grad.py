@@ -46,6 +46,57 @@ from aiic_tpu.ops.attention import LOG2E, _denom_guard, _mm_prec, exp2_rows
 
 Params = Dict[str, Any]
 
+# Scoped-VMEM budget for the whole-block kernels. Coarser than ops/quant's
+# estimators (whole-block peak-live is harder to attribute), calibrated so the
+# known-good geometry passes: the ViT-B/16 TEXT tower at G=2 estimates
+# ~14.3 MB and is measured to fit on v5e; the L/14-class 768-wide text tower
+# estimates ~20 MB at G=1 and must be rejected (the hard ceiling is ~16 MB).
+_BLOCK_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def _text_block_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
+                           heads: int, itemsize: int) -> int:
+    """Peak-live estimate for the backward kernel (the larger of the pair)."""
+    rows = group * seq
+    weights = (4 * width * width + 2 * width * mlp_dim) * itemsize
+    return weights + (
+        3 * rows * width * itemsize        # x + dy in, dx out blocks
+        + seq * seq * 4                    # mask
+        + rows * 3 * width * (4 + itemsize)  # QKV accumulator + cast
+        + group * heads * seq * seq * 4    # per-head probabilities kept for bwd
+        + 3 * rows * mlp_dim * 4           # f / sigmoid / u fp32 slabs
+        + 6 * rows * width * 4             # fp32 (rows, W) intermediates
+    )
+
+
+def text_block_fits(seq: int, width: int, mlp_dim: int, heads: int,
+                    itemsize: int = 2) -> bool:
+    """True when the whole-block kernel pair fits scoped VMEM at G>=1 for
+    this geometry. Callers (train.trainer's ``block_fused`` gate) use this to
+    fall back to the autodiff path instead of hitting an opaque Mosaic
+    allocation failure mid-compile."""
+    return _text_block_vmem_bytes(1, seq, width, mlp_dim, heads,
+                                  itemsize) <= _BLOCK_VMEM_BUDGET
+
+
+def _pick_group(bsz: int, seq: int, width: int, mlp_dim: int, heads: int,
+                itemsize: int, want: int) -> int:
+    group = want if itemsize <= 2 else 1
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+    while group > 1 and _text_block_vmem_bytes(
+            group, seq, width, mlp_dim, heads, itemsize) > _BLOCK_VMEM_BUDGET:
+        group //= 2
+    if _text_block_vmem_bytes(group, seq, width, mlp_dim, heads,
+                              itemsize) > _BLOCK_VMEM_BUDGET:
+        raise ValueError(
+            f"text block geometry (S={seq}, W={width}, M={mlp_dim}) exceeds "
+            "the whole-block kernel's VMEM budget even at G=1; use "
+            "attn_impl='pallas_vjp' or 'xla' (train.trainer falls back "
+            "automatically via text_block_fits)")
+    return group
+
 
 def _ln_fwd(xf: jnp.ndarray, scale, bias, eps: float):
     """fp32 LN forward returning (out, xhat, inv_sigma) for reuse in bwd."""
@@ -303,10 +354,7 @@ def text_block_fwd(
     r_p = lora["c_proj"]["A"].shape[-1]
     cdt = x.dtype
 
-    group = 2 if x.dtype.itemsize <= 2 else 1
-    while bsz % group != 0:
-        group //= 2
-    group = max(group, 1)
+    group = _pick_group(bsz, seq, width, mlp, heads, x.dtype.itemsize, want=2)
 
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
@@ -349,11 +397,11 @@ def text_block_bwd(
 
     # Group images per grid step to amortize per-program overhead (the S=77
     # dots are small); bf16 fits 2 per step under the ~16 MB VMEM budget
-    # (weights ~6.3 MB + ~4 MB fp32 intermediates per image).
-    group = 2 if x.dtype.itemsize <= 2 and int(os.environ.get("AIIC_BLOCKBWD_G", "2")) == 2 else 1
-    while bsz % group != 0:
-        group //= 2
-    group = max(group, 1)
+    # (weights ~6.3 MB + ~4 MB fp32 intermediates per image). Larger
+    # geometries shrink to whatever fits; impossible ones raise (the trainer
+    # gates on text_block_fits before selecting this kernel).
+    want = 2 if int(os.environ.get("AIIC_BLOCKBWD_G", "2")) == 2 else 1
+    group = _pick_group(bsz, seq, width, mlp, heads, x.dtype.itemsize, want=want)
 
     out_shapes = (
         jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),

@@ -46,8 +46,19 @@ def _row_quant(h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def _int8_mlp_rows(x, ln_s, ln_b, w1, s1, b1, w2, s2, b2, eps):
-    """(rows, W) slab: x + int8-MLP(LN(x))."""
+def _gelu_exp2(y: jnp.ndarray) -> jnp.ndarray:
+    # quick_gelu via exp2: sigmoid(1.702 y) = 1/(1 + 2^(-1.702·log2(e)·y)).
+    # Mosaic lowers exp2 faster than its `logistic` path; measured -0.3 ms on
+    # the 12-layer stack at B=256 with cosine 1.000000 vs jax.nn.sigmoid.
+    return y * (1.0 / (1.0 + jnp.exp2(jnp.float32(-1.702 * LOG2E) * y)))
+
+
+def _int8_mlp_rows(x, ln_s, ln_b, w1, s1, b1, w2, s2, b2, eps, n_chunks=1):
+    """(rows, W) slab: x + int8-MLP(LN(x)).
+
+    ``n_chunks > 1`` runs the hidden (mlp_dim) axis in chunks with
+    per-(row, chunk) activation quantization — the exact numerics of the
+    chunked Pallas kernel, kept here as its XLA reference/fallback."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -55,27 +66,37 @@ def _int8_mlp_rows(x, ln_s, ln_b, w1, s1, b1, w2, s2, b2, eps):
     h = h * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
 
     hq, hscale = _row_quant(h)
-    acc = jax.lax.dot_general(
-        hq, w1,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,  # int8 MACs; 'highest' context would break Mosaic
-    )
-    y = acc.astype(jnp.float32) * hscale * s1 + b1.astype(jnp.float32)
-    # quick_gelu via exp2: sigmoid(1.702 y) = 1/(1 + 2^(-1.702·log2(e)·y)).
-    # Mosaic lowers exp2 faster than its `logistic` path; measured -0.3 ms on
-    # the 12-layer stack at B=256 with cosine 1.000000 vs jax.nn.sigmoid.
-    y = y * (1.0 / (1.0 + jnp.exp2(jnp.float32(-1.702 * LOG2E) * y)))
+    mlp_dim = w1.shape[-1]
+    chunk = mlp_dim // n_chunks
 
-    yq, yscale = _row_quant(y)
-    acc2 = jax.lax.dot_general(
-        yq, w2,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    out = acc2.astype(jnp.float32) * yscale * s2 + b2.astype(jnp.float32)
-    return (xf + out).astype(x.dtype)
+    def _part(sl):
+        acc = jax.lax.dot_general(
+            hq, w1[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,  # int8 MACs; 'highest' context would break Mosaic
+        )
+        y = acc.astype(jnp.float32) * hscale * s1[:, sl] + b1[:, sl].astype(jnp.float32)
+        y = _gelu_exp2(y)
+        yq, yscale = _row_quant(y)
+        acc2 = jax.lax.dot_general(
+            yq, w2[sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return acc2.astype(jnp.float32) * yscale * s2
+
+    if n_chunks == 1:
+        out = _part(slice(0, mlp_dim)) + b2.astype(jnp.float32)
+        return (xf + out).astype(x.dtype)
+    # Chunked: mirror the chunked kernel's fp32 summation order exactly
+    # (residual seeds the accumulator; b2 lands last) so kernel vs reference
+    # comparisons are bit-comparable.
+    total = xf
+    for c in range(n_chunks):
+        total = total + _part(slice(c * chunk, (c + 1) * chunk))
+    return (total + b2.astype(jnp.float32)).astype(x.dtype)
 
 
 def _int8_mlp_kernel_3d(
@@ -121,6 +142,77 @@ def _mlp_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
     )
 
 
+def _mlp_chunk_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
+                          n_chunks: int, itemsize: int) -> int:
+    """Peak-live estimate for the hidden-axis-chunked kernel: only one
+    (W, M/C)+(M/C, W) weight-chunk pair and one (rows, M/C) slab are
+    resident per grid step; the fp32 accumulator and quantized LN output
+    persist in scratch across the chunk loop."""
+    rows = group * seq
+    chunk = mlp_dim // n_chunks
+    return (
+        2 * rows * width * itemsize       # x in + out blocks
+        + 2 * width * chunk               # int8 weight chunk pair
+        + rows * width * 4                # fp32 residual/output accumulator (scratch)
+        + rows * width * 4                # h fp32 (transient, chunk 0)
+        + rows * width                    # hq int8 (scratch)
+        + rows * chunk * 4                # int32 accumulator / fp32 gelu slab
+        + rows * chunk                    # int8 quantized gelu output
+    )
+
+
+def _int8_mlp_chunk_kernel(
+    x_ref, ln_s_ref, ln_b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    o_ref, acc_ref, hq_ref, hs_ref, *, eps: float, n_chunks: int,
+):
+    """Hidden-axis (mlp_dim) chunked int8 MLP: grid (batch groups, chunks).
+    Geometries whose full (W, M) weight pair + (rows, M) slab exceed VMEM
+    (e.g. ViT-L/14: ~15.8 MB at G=1) stream the hidden axis in C chunks:
+    chunk c computes gelu(hq @ w1[:, c]) and accumulates its c_proj partial
+    product into a persistent fp32 scratch that already carries the
+    residual. Activation quantization for the second matmul is per
+    (row, chunk) — FINER granularity than the unchunked kernel's per-row
+    scale (each chunk gets its own amax), mirrored exactly by
+    ``_int8_mlp_rows(n_chunks=C)``."""
+    group, seq, width = x_ref.shape
+    rows = group * seq
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _first():
+        xf = x_ref[:].reshape(rows, width).astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        h = (xf - mean) * jax.lax.rsqrt(var + eps)
+        h = h * ln_s_ref[:].astype(jnp.float32) + ln_b_ref[:].astype(jnp.float32)
+        hq, hscale = _row_quant(h)
+        hq_ref[:] = hq
+        hs_ref[:] = hscale
+        acc_ref[:] = xf  # residual seeds the output accumulator
+
+    acc = jax.lax.dot_general(
+        hq_ref[:], w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    y = acc.astype(jnp.float32) * hs_ref[:] * s1_ref[:] + b1_ref[:].astype(jnp.float32)
+    y = _gelu_exp2(y)
+    yq, yscale = _row_quant(y)
+    acc2 = jax.lax.dot_general(
+        yq, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    acc_ref[:] += acc2.astype(jnp.float32) * yscale * s2_ref[:]
+
+    @pl.when(c == n_chunks - 1)
+    def _last():
+        out = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        o_ref[:] = out.reshape(group, seq, width).astype(o_ref.dtype)
+
+
 def int8_ln_mlp(
     x: jnp.ndarray,
     ln_scale: jnp.ndarray,
@@ -145,9 +237,12 @@ def int8_ln_mlp(
 
     Geometry guard: the image group per grid step is chosen against a
     conservative scoped-VMEM estimate (G=2 fits ViT-B/16; larger geometries
-    like ViT-L/14 drop to G=1), and when even one image's working set would
-    exceed the budget the same int8 math runs as plain XLA ops instead of a
-    Pallas kernel — identical numerics, no VMEM ceiling.
+    like ViT-L/14 drop to G=1). When even one image's FULL working set
+    exceeds the budget, the kernel streams the hidden (mlp_dim) axis in
+    chunks instead (``_int8_mlp_chunk_kernel`` — per-(row, chunk) activation
+    quantization, c_proj partials accumulated in fp32 scratch; this is how
+    ViT-L/14 keeps the int8 Pallas path). Only when no chunking fits does
+    the same int8 math run as plain XLA ops (no VMEM ceiling).
     """
     del rows  # legacy knob of the flat-rows layout
     bsz, seq, width = x.shape
@@ -166,6 +261,48 @@ def int8_ln_mlp(
         group //= 2
     if _mlp_vmem_bytes(group, seq, width, mlp_dim,
                        x.dtype.itemsize) > _VMEM_BUDGET:
+        # Hidden-axis chunking: smallest C (power of two, 128-aligned
+        # chunks) whose per-step working set fits.
+        n_chunks = 2
+        while (mlp_dim % n_chunks == 0 and mlp_dim // n_chunks >= 128
+               and _mlp_chunk_vmem_bytes(1, seq, width, mlp_dim, n_chunks,
+                                         x.dtype.itemsize) > _VMEM_BUDGET):
+            n_chunks *= 2
+        if (mlp_dim % n_chunks == 0 and mlp_dim // n_chunks >= 128
+                and _mlp_chunk_vmem_bytes(1, seq, width, mlp_dim, n_chunks,
+                                          x.dtype.itemsize) <= _VMEM_BUDGET):
+            chunk = mlp_dim // n_chunks
+            return pl.pallas_call(
+                functools.partial(_int8_mlp_chunk_kernel, eps=eps,
+                                  n_chunks=n_chunks),
+                out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+                grid=(bsz, n_chunks),
+                in_specs=[
+                    pl.BlockSpec((1, seq, width), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((width, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk, width), lambda b, c: (c, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, seq, width), lambda b, c: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((seq, width), jnp.float32),   # residual/output acc
+                    pltpu.VMEM((seq, width), jnp.int8),      # quantized LN output
+                    pltpu.VMEM((seq, 1), jnp.float32),       # per-row LN scales
+                ],
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * 2 * bsz * seq * width * mlp_dim,
+                    bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+                    + 2 * width * mlp_dim,
+                    transcendentals=bsz * seq * mlp_dim,
+                ),
+                interpret=interpret,
+            )(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2)
         out = _int8_mlp_rows(
             x.reshape(bsz * seq, width), ln_scale, ln_bias,
             w1_q, s1, b1, w2_q, s2, b2, eps,

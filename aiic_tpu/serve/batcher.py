@@ -66,18 +66,25 @@ class DynamicBatcher:
             metrics = GLOBAL_METRICS
         self.metrics = metrics
         self._q: "queue.Queue" = queue.Queue()
+        self._admit_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, item: np.ndarray) -> Future:
-        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
-            self.metrics.inc("requests_rejected_total")
-            raise BatcherOverloaded(
-                f"request queue full ({self.max_queue}); retry later"
-            )
         fut: Future = Future()
-        self._q.put((item, fut))
+        if self.max_queue is not None:
+            # check-and-put under a lock so concurrent handler threads
+            # cannot all pass the qsize check and overshoot the bound
+            with self._admit_lock:
+                if self._q.qsize() >= self.max_queue:
+                    self.metrics.inc("requests_rejected_total")
+                    raise BatcherOverloaded(
+                        f"request queue full ({self.max_queue}); retry later"
+                    )
+                self._q.put((item, fut))
+        else:
+            self._q.put((item, fut))
         return fut
 
     def __call__(self, item: np.ndarray) -> Any:

@@ -161,11 +161,21 @@ def make_train_step(
         # The kernel only engages under its preconditions (full reference
         # attach set, no dropout, quick-gelu — models.clip.block); mirror
         # them here so a silent fallback to autodiff keeps remat ON instead
-        # of stashing 12 layers of activations.
+        # of stashing 12 layers of activations. Two additional gates live
+        # only here: a mesh (GSPMD cannot partition the custom-VJP pallas
+        # call — same constraint as pallas_vjp) and the whole-block VMEM
+        # fit (larger text towers would die in Mosaic allocation).
+        from aiic_tpu.ops.block_grad import text_block_fits
+
         kernel_ok = (
             cfg.lora_dropout == 0.0
             and all(k in cfg.attach for k in ("out_proj", "c_fc", "c_proj"))
             and config.gelu_type == "quick_gelu"
+            and mesh is None
+            and text_block_fits(
+                config.context_length, config.text.width,
+                config.text.mlp_dim, config.text.heads,
+                jnp.dtype(cfg.dtype).itemsize)
         )
         if kernel_ok:
             # The whole-block custom VJP already embodies the recompute

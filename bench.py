@@ -38,9 +38,14 @@ def main():
 
     from aiic_tpu.engine.detector import DETECTOR_CATEGORIES, INTERIOR_COUNT
     from aiic_tpu.engine.programs import classify_batch
-    from aiic_tpu.models import VIT_B_16, init_clip_params
+    from aiic_tpu.models import VIT_B_16, VIT_B_32, VIT_L_14, init_clip_params
 
-    config = VIT_B_16
+    # AIIC_BENCH_MODEL: vit_b_16 (default; the reference's flagship and the
+    # headline metric), vit_b_32, or vit_l_14 (framework-generality bench —
+    # exercises the chunked int8 MLP kernel and G=1 attention at S=257).
+    model = os.environ.get("AIIC_BENCH_MODEL", "vit_b_16")
+    config = {"vit_b_16": VIT_B_16, "vit_b_32": VIT_B_32,
+              "vit_l_14": VIT_L_14}[model]
     # Grid amortization: B=512 measured +2.6% over B=256 (6008 vs 5857
     # img/s pipelined) and B=1024 another +0.9% (6049 vs 5996); single-image
     # p50 is measured separately and unaffected by this default.
@@ -48,7 +53,8 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     dtype = jnp.bfloat16
 
-    log(f"backend={jax.default_backend()} devices={jax.devices()} batch={batch}")
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"batch={batch} model={config.name}")
 
     params = init_clip_params(jax.random.PRNGKey(0), config)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
@@ -91,7 +97,7 @@ def main():
 
     # --- device-resident throughput (headline: chip compute) -------------
     dev_batches = [
-        jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+        jnp.asarray(rng.integers(0, 256, (batch, config.image_size, config.image_size, 3), dtype=np.uint8))
         for _ in range(4)
     ]
     _, s = classify(params, dev_batches[0], det_text, cat_text, cat_mask)
@@ -129,7 +135,7 @@ def main():
 
     # --- end-to-end with uint8 host batches, pipelined -------------------
     host_batches = [
-        rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8) for _ in range(4)
+        rng.integers(0, 256, (batch, config.image_size, config.image_size, 3), dtype=np.uint8) for _ in range(4)
     ]
     # warm the transfer path
     _, s = classify(params, jnp.asarray(host_batches[0]), det_text, cat_text, cat_mask)
@@ -147,7 +153,7 @@ def main():
         "(loopback-relay transfer bound in this container)")
 
     # --- p50 single-image latency (BASELINE tracked metric) --------------
-    one = jnp.asarray(rng.integers(0, 256, (1, 224, 224, 3), dtype=np.uint8))
+    one = jnp.asarray(rng.integers(0, 256, (1, config.image_size, config.image_size, 3), dtype=np.uint8))
     _, s = classify(params, one, det_text, cat_text, cat_mask)
     float(s)
     lat = []

@@ -168,3 +168,73 @@ def test_explicit_pallas_impl_under_mesh_raises():
                 cfg=TrainConfig(epochs=1, batch_size=8, attn_impl=impl),
                 mesh=create_mesh(8, tp=2), log=lambda *_: None,
             )
+
+
+def test_text_block_fits_geometry_guard():
+    """The whole-block kernel pair must advertise VMEM fit honestly: shipped
+    text-tower geometries fit, an L/14-class 768-wide tower (whose resident
+    weights alone are ~14 MB bf16) must be rejected so the trainer falls
+    back to autodiff instead of dying in Mosaic allocation."""
+    from aiic_tpu.ops.block_grad import text_block_fits
+
+    assert text_block_fits(77, 512, 2048, 8, 2)  # ViT-B/16 text tower
+    assert text_block_fits(CFG.context_length, CFG.text.width,
+                           CFG.text.mlp_dim, CFG.text.heads, 2)
+    assert not text_block_fits(77, 768, 3072, 12, 2)  # L/14-class text tower
+
+
+def test_oversized_geometry_raises_clear_error():
+    """Calling the kernel entry point directly at an over-budget geometry
+    must raise a clear ValueError before Pallas compilation, not an opaque
+    Mosaic VMEM failure."""
+    import pytest
+
+    from aiic_tpu.ops.block_grad import text_block_fwd
+
+    S, W, M, H = 77, 768, 3072, 12
+    rng = np.random.default_rng(0)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    bp = {
+        "ln1": {"scale": f32(W), "bias": f32(W)},
+        "ln2": {"scale": f32(W), "bias": f32(W)},
+        "attn": {"wqkv": f32(W, 3 * W), "bqkv": f32(3 * W),
+                 "wo": f32(W, W), "bo": f32(W)},
+        "mlp": {"w1": f32(W, M), "b1": f32(M), "w2": f32(M, W), "b2": f32(W)},
+    }
+    lora = {k: {"A": f32(i, 2), "B": f32(2, o)}
+            for k, i, o in (("out_proj", W, W), ("c_fc", W, M), ("c_proj", M, W))}
+    x = jnp.asarray(rng.standard_normal((2, S, W)).astype(np.float32)).astype(jnp.bfloat16)
+    mask = jnp.zeros((S, S), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        text_block_fwd(x, mask, bp, lora, heads=H, scaling=2.0, interpret=True)
+
+
+def test_block_fused_under_mesh_falls_back_in_make_train_step():
+    """make_train_step is a public entry point: called directly with
+    attn_impl='block_fused' AND a mesh, the kernel gate must fall back to
+    the shardable XLA text path (GSPMD cannot partition the custom-VJP
+    pallas call) instead of compiling the kernel under the mesh."""
+    from aiic_tpu.adapters import LoRAConfig, init_text_lora
+    from aiic_tpu.parallel import create_mesh, shard_train_step
+    from aiic_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
+
+    tc = TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4,
+                     attach=("c_fc", "c_proj", "out_proj"),
+                     attn_impl="block_fused", image_attn_impl="xla")
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    lora = init_text_lora(jax.random.PRNGKey(1), CFG, LoRAConfig(2, 4, tc.attach))
+    opt = make_optimizer(tc, steps_per_epoch=1)
+    mesh = create_mesh(8, tp=2)
+    ts, es = make_train_step(CFG, tc, opt, mesh=mesh)
+    jt, _je, sp, sl, so = shard_train_step(mesh, ts, es, params, lora,
+                                           opt.init(lora), replicate_visual=True)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal(
+        (8, CFG.image_size, CFG.image_size, 3)).astype(np.float32))
+    tokens = rng.integers(1, CFG.vocab_size - 2,
+                          (8, CFG.context_length)).astype(np.int32)
+    tokens[:, 0] = CFG.vocab_size - 2
+    tokens[:, -1] = CFG.vocab_size - 1
+    loss, _new_lora, _ = jt(sp, sl, so, pixels, jnp.asarray(tokens),
+                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

@@ -354,3 +354,20 @@ def test_stage_timings_surface_on_metrics(tiny_analyzer, tmp_path):
     assert any(k.startswith("stage_dispatch") for k in snap)
     assert any(k.startswith("stage_fetch") for k in snap)
     assert any(k.startswith("stage_decode") for k in snap)
+
+
+def test_warmup_compiles_the_claimed_bucket(tiny_analyzer, monkeypatch):
+    """warmup's dedupe key and its actual compile must agree: warming a size
+    b > max_batch must dispatch ONE b-row request (compiling bucket b), not
+    chunk it into max_batch-row dispatches that leave bucket b cold."""
+    calls = []
+    real = type(tiny_analyzer).classify_pixels
+
+    def spy(self, pixels, max_batch=None):
+        calls.append((pixels.shape[0], max_batch))
+        return real(self, pixels, max_batch=max_batch)
+
+    monkeypatch.setattr(type(tiny_analyzer), "classify_pixels", spy)
+    big = tiny_analyzer.max_batch * 2
+    tiny_analyzer.warmup([big])
+    assert calls == [(big, big)]

@@ -80,3 +80,32 @@ def test_decode_jpeg_raw_roundtrip(ref_root):
     assert np.abs(arr.astype(int) - ref.astype(int)).max() <= 2
     assert decode_jpeg_raw(b"not a jpeg") is None
     assert decode_jpeg_raw(b"") is None
+
+
+def test_prefetching_loader_propagates_producer_errors(ref_root, monkeypatch):
+    """A failure in the background decode thread must raise in the consumer,
+    not silently truncate the stream (analyze_images_batch would otherwise
+    return PARTIAL results with rc=0 — every path after the failure point
+    simply missing from the export)."""
+    import glob
+
+    import pytest
+
+    from aiic_tpu.data import native_loader
+    from aiic_tpu.data.pipeline import PrefetchingLoader
+
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:8]
+    calls = {"n": 0}
+    real = native_loader.preprocess_jpeg_files
+
+    def flaky(chunk, size, num_threads=0):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise MemoryError("simulated decode-pool failure")
+        return real(chunk, size, num_threads=num_threads)
+
+    monkeypatch.setattr(native_loader, "preprocess_jpeg_files", flaky)
+    loader = PrefetchingLoader(paths, batch_size=4, size=224, depth=2)
+    with pytest.raises(MemoryError, match="simulated"):
+        for _ in loader:
+            pass

@@ -393,10 +393,11 @@ def test_exp2_rows_softmax_semantics():
 def test_vmem_guard_geometry_selection():
     """ViT-B/16 stays at the measured-good G=2 kernel blocking; ViT-L/14
     geometry (S=257, W=1024, MLP 4096) exceeds the scoped-VMEM budget at
-    G=2 everywhere and at G=1 for the MLP (which must take the XLA
-    fallback), while attention still fits at G=1."""
+    G=2 everywhere and at G=1 for the UNCHUNKED MLP — which must then take
+    the hidden-axis-chunked kernel (C=2 fits), while attention still fits
+    at G=1."""
     from aiic_tpu.ops.quant import (
-        _VMEM_BUDGET, _attn_vmem_bytes, _mlp_vmem_bytes,
+        _VMEM_BUDGET, _attn_vmem_bytes, _mlp_chunk_vmem_bytes, _mlp_vmem_bytes,
     )
 
     # B/16 (measured to fit on v5e at G=2) must not regress to G=1
@@ -405,16 +406,18 @@ def test_vmem_guard_geometry_selection():
     # L/14 at G=2 must be rejected (true working set ~21 MB > 16 MB ceiling)
     assert _mlp_vmem_bytes(2, 257, 1024, 4096, 2) > _VMEM_BUDGET
     assert _attn_vmem_bytes(2, 257, 1024, 2) > _VMEM_BUDGET
-    # L/14 attention fits at G=1; L/14 MLP does not (falls back to XLA)
+    # L/14 attention fits at G=1; the unchunked MLP does not, but the
+    # 2-chunk hidden-axis kernel does (the int8 Pallas path stays live)
     assert _attn_vmem_bytes(1, 257, 1024, 2) <= _VMEM_BUDGET
     assert _mlp_vmem_bytes(1, 257, 1024, 4096, 2) > _VMEM_BUDGET
+    assert _mlp_chunk_vmem_bytes(1, 257, 1024, 4096, 2, 2) <= _VMEM_BUDGET
 
 
-def test_int8_mlp_large_geometry_xla_fallback():
-    """ViT-L/14 geometry routes int8_ln_mlp through the XLA fallback
-    (no Pallas kernel — no VMEM ceiling) and produces finite output close
-    to the fp32 MLP math."""
-    from aiic_tpu.ops.quant import int8_ln_mlp, quantize_weight
+def test_int8_mlp_large_geometry_chunked_kernel():
+    """ViT-L/14 geometry routes int8_ln_mlp through the hidden-axis-chunked
+    Pallas kernel (C=2): exact match vs its XLA reference
+    (_int8_mlp_rows(n_chunks=2)) and close to the fp32 MLP math."""
+    from aiic_tpu.ops.quant import _int8_mlp_rows, int8_ln_mlp, quantize_weight
 
     rng = np.random.default_rng(0)
     b, s, w, m = 2, 257, 1024, 4096
@@ -428,9 +431,23 @@ def test_int8_mlp_large_geometry_xla_fallback():
     b1 = jnp.zeros((m,), jnp.float32)
     b2 = jnp.zeros((w,), jnp.float32)
 
-    out = int8_ln_mlp(x, ln_s, ln_b, w1_q, s1, b1, w2_q, s2, b2)
+    out = int8_ln_mlp(x, ln_s, ln_b, w1_q, s1, b1, w2_q, s2, b2,
+                      interpret=True)
     assert out.shape == (b, s, w)
     assert np.isfinite(np.asarray(out)).all()
+
+    # agreement with the chunked XLA reference. Not bit-exact: ~0.2% of y
+    # values land on a round() boundary and flip one int8 level between the
+    # two separately compiled programs (FMA fusion differences) — bound the
+    # error at one quantization step and require the bulk to match exactly.
+    ref_chunked = _int8_mlp_rows(
+        x.reshape(b * s, w), ln_s.reshape(1, w), ln_b.reshape(1, w),
+        w1_q, s1.reshape(1, m), b1.reshape(1, m),
+        w2_q, s2.reshape(1, w), b2.reshape(1, w), 1e-5, n_chunks=2,
+    ).reshape(b, s, w)
+    diff = np.abs(np.asarray(out) - np.asarray(ref_chunked))
+    assert diff.max() < 5e-3, diff.max()            # <= one quant level
+    assert (diff > 1e-5).mean() < 0.01              # >99% exact
 
     # fp32 reference
     xf = np.asarray(x, np.float64)
@@ -617,3 +634,35 @@ def test_int8_fused_block_env_gate_wiring(monkeypatch):
     fused = np.asarray(encode_image(qparams, px, TINY_TEST, dtype=jnp.bfloat16,
                                     attn_impl="pallas"), np.float32)
     np.testing.assert_array_equal(fused, base)
+
+
+def test_l14_geometry_serving_tower_kernels_close_to_fp():
+    """The serving quantization at ViT-L/14 GEOMETRY (S=257, W=1024,
+    M=4096; layers cut to 2 for test cost): the image tower routes through
+    G=1 int8 attention + the hidden-axis-CHUNKED int8 MLP kernel and stays
+    >=0.999 cosine vs the bf16 XLA path."""
+    import dataclasses
+
+    from aiic_tpu.models import VIT_L_14, encode_image, init_clip_params
+    from aiic_tpu.models.config import TowerConfig
+    from aiic_tpu.ops.quant import quantize_model
+
+    cfg = dataclasses.replace(
+        VIT_L_14,
+        vision=TowerConfig(width=1024, layers=2, heads=16),
+        text=TowerConfig(width=768, layers=2, heads=12),
+    )
+    assert cfg.vision_seq_len == 257
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_model(params)
+    px = jax.random.uniform(jax.random.PRNGKey(1),
+                            (2, cfg.image_size, cfg.image_size, 3),
+                            jnp.bfloat16)
+    base = np.asarray(encode_image(params, px, cfg, dtype=jnp.bfloat16,
+                                   attn_impl="xla"), np.float32)
+    quant = np.asarray(encode_image(qparams, px, cfg, dtype=jnp.bfloat16,
+                                    attn_impl="pallas"), np.float32)
+    cos = (base * quant).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(quant, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos

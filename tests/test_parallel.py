@@ -338,3 +338,30 @@ def test_vitl14_tp4_sharded_encode_and_specs():
         out = np.asarray(normalize_features(
             encode_image(sp, jnp.asarray(pixels), VIT_L_14)))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_device_resize_under_mesh_warns_and_falls_back(tmp_path):
+    """device_resize=True on a mesh-backed analyzer must WARN about the
+    downgrade to the host-resize streaming path, not silently ignore the
+    flag (the caller would otherwise believe they measured the device-resize
+    path)."""
+    import warnings
+
+    from PIL import Image
+
+    from aiic_tpu.engine.analyzer import InteriorAnalyzer
+
+    training = [
+        {"image_path": "a.jpg", "style": "nowoczesny",
+         "characteristics": ["jasne"], "materials": ["drewno"],
+         "colors": ["bialy"], "room_type": "kuchnia"},
+    ]
+    meshy = InteriorAnalyzer(config=CFG, training_data=training,
+                             max_batch=8, mesh=create_mesh(8, tp=2))
+    p = tmp_path / "img.jpg"
+    Image.new("RGB", (64, 64), (120, 90, 60)).save(p)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = meshy.analyze_images_batch([str(p)], device_resize=True)
+    assert any("device_resize" in str(x.message) for x in w)
+    assert str(p) in res

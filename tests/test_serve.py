@@ -438,3 +438,46 @@ def test_rest_overload_returns_503_with_retry_after(db_with_images):
         assert "queue full" in json.loads(ei.value.read().decode())["error"]
     finally:
         server.shutdown()
+
+
+def test_batcher_admission_bound_is_exact_under_concurrency():
+    """Concurrent submitters must not overshoot max_queue: the qsize check
+    and the enqueue happen atomically under the admission lock."""
+    import threading as th
+
+    from aiic_tpu.serve.batcher import BatcherOverloaded
+
+    release = th.Event()
+
+    def slow_run(items):
+        release.wait(5.0)
+        return [None] * len(items)
+
+    b = DynamicBatcher(slow_run, max_batch=1, max_wait_ms=1.0, max_queue=4)
+    try:
+        # occupy the dispatch slot so everything else stays queued
+        first = b.submit(np.zeros(1))
+        time.sleep(0.2)
+
+        accepted, rejected = [], []
+        start = th.Barrier(17)
+
+        def worker():
+            start.wait()
+            try:
+                accepted.append(b.submit(np.zeros(1)))
+            except BatcherOverloaded:
+                rejected.append(1)
+
+        threads = [th.Thread(target=worker) for _ in range(16)]
+        for t in threads:
+            t.start()
+        start.wait()
+        for t in threads:
+            t.join()
+        assert b._q.qsize() <= 4, "admission bound overshot"
+        assert len(accepted) + len(rejected) == 16
+        assert len(rejected) >= 12
+    finally:
+        release.set()
+        b.close()

@@ -29,6 +29,11 @@ def main(argv=None):
                    help="run the frozen image tower with the int8 serving "
                         "numerics (bf16 + int8 kernels) so adapters train "
                         "against the exact features served in production")
+    p.add_argument("--quantize-text", action="store_true",
+                   help="run the differentiated TEXT tower with the int8 "
+                        "serving numerics via the whole-block int8 kernel "
+                        "pair (requires --attn-impl block_fused; gradients "
+                        "use the straight-through estimator)")
     p.add_argument("--test", action="store_true", help="evaluate a trained adapter")
     p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt / HF)")
     p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
@@ -85,7 +90,8 @@ def main(argv=None):
         cfg=TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             rank=args.rank, alpha=args.alpha, lora_dropout=args.dropout,
-            quantize_image=args.quantize_image, dtype=jnp.dtype(args.dtype),
+            quantize_image=args.quantize_image,
+            quantize_text=args.quantize_text, dtype=jnp.dtype(args.dtype),
             attn_impl=args.attn_impl,
         ),
         image_root=args.image_root,

@@ -213,6 +213,36 @@ def block(
     # (ops/block_grad): LN1+attention+out_proj+LN2+MLP and all six LoRA
     # cotangents in ONE program recomputing intermediates in VMEM.
     # Requires the full reference attach set and no dropout.
+    # Serving-numerics training path: the whole-block kernel pair with int8
+    # backbone matmuls (ops/block_grad int8 variant) — the text tower then
+    # trains against EXACTLY the int8 composition the serving engine
+    # precomputes text features with, instead of bf16 numerics it never
+    # serves. Requires quantized text weights in the tree (attn_q/mlp_q).
+    if attn_impl == "block_fused_int8":
+        from aiic_tpu.ops.block_grad import (
+            text_block_int8_fits, text_block_lora_int8,
+        )
+
+        if (
+            lora is not None
+            and all(k in lora for k in ("out_proj", "c_fc", "c_proj"))
+            and lora_dropout == 0.0
+            and gelu_type == "quick_gelu"
+            and "attn_q" in p and "mlp_q" in p
+            and text_block_int8_fits(x.shape[1], x.shape[2],
+                                     p["mlp"]["w1"].shape[-1], heads)
+        ):
+            on_tpu = jax.default_backend() == "tpu"
+            m = (jnp.zeros((x.shape[1], x.shape[1]), jnp.float32)
+                 if mask is None else mask.astype(jnp.float32))
+            return text_block_lora_int8(
+                x, {k: p[k] for k in ("ln1", "attn", "ln2", "mlp")},
+                {**p["attn_q"], **p["mlp_q"]},
+                {k: lora[k] for k in ("out_proj", "c_fc", "c_proj")},
+                m, heads, lora_scaling, not on_tpu,
+            )
+        attn_impl = "block_fused"  # fall through to the bf16 kernel gate
+
     if attn_impl == "block_fused":
         from aiic_tpu.ops.block_grad import text_block_fits
 

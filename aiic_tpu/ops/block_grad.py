@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aiic_tpu.ops.attention import LOG2E, _denom_guard, _mm_prec, exp2_rows
+from aiic_tpu.ops.quant import _row_quant
 
 Params = Dict[str, Any]
 
@@ -453,6 +454,434 @@ def text_block_bwd(
                    "B": outs[6].astype(z["c_proj"]["B"].dtype)},
     }
     return dx, dlora
+
+
+# ---------------------------------------------------------------------------
+# int8 variant: serving-numerics training
+# ---------------------------------------------------------------------------
+#
+# The serving engine precomputes text features through the int8 kernels
+# (quantize_model quantizes BOTH towers), but the trainer's text branch runs
+# bf16 — adapters were trained against numerics the deployed model never
+# reproduces. These kernels close that gap AND double-pump the backbone
+# matmuls: the forward mirrors the serving int8 composition (per-row
+# activation quant -> int8 QKV / c_fc / c_proj MACs, bf16 attention core and
+# output projection, LoRA deltas in bf16), and the backward differentiates
+# it under the straight-through estimator (quantization treated as identity;
+# cotangent matmuls themselves run int8 against the same quantized weights:
+# dy @ (Wq*s)^T == rowquant(dy*s) @ Wq^T up to the cotangent's own
+# quantization). Gradients therefore carry ~1e-2-relative quantization noise
+# vs the bf16-exact path — gated by gradient-cosine tests and an end-metric
+# training comparison, not bit-exactness.
+
+QWeights = Dict[str, Any]
+
+
+def _q_dot(v: jnp.ndarray, wq: jnp.ndarray, contract) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-quantize fp32 ``v`` and contract with an int8 weight; returns
+    (int32 accumulator as fp32, per-row scale)."""
+    vq, vs = _row_quant(v)
+    acc = jax.lax.dot_general(
+        vq, wq, dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return acc.astype(jnp.float32), vs
+
+
+def _int8_block_fwd_stage(x, mask, refs, *, heads, dim, scale, scaling, eps,
+                          keep):
+    """The int8 whole-block forward on one (S, W) image slab; ``refs`` is the
+    loaded weight dict. With keep=True also returns every intermediate the
+    backward needs (probs, qkv, a, a_ao, h2*, f, sig, u, xhat/inv pairs)."""
+    (ln1s, ln1b, ln2s, ln2b, wqkv_q, sqkv, bqkv, wo, bo,
+     w1q, s1, b1, w2q, s2, b2, aoA, aoB, afA, afB, apA, apB) = refs
+    width = heads * dim
+    cdt = x.dtype
+    prec = _mm_prec(cdt)
+
+    def bdot(a, b, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    xf = x.astype(jnp.float32)
+    h1f, xhat1, inv1 = _ln_fwd(xf, ln1s, ln1b, eps)
+    acc, hs = _q_dot(h1f, wqkv_q, ((1,), (0,)))
+    qkv_f = acc * hs * sqkv + bqkv
+    qkv = qkv_f.astype(cdt)  # (S, 3W)
+
+    probs, outs = [], []
+    for hd in range(heads):
+        q = qkv[:, hd * dim:(hd + 1) * dim]
+        k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+        v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+        qs = q * jnp.asarray(scale * LOG2E, cdt)
+        s = bdot(qs, k, ((1,), (1,)))
+        p = exp2_rows(s + mask)
+        p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
+        if keep:
+            probs.append(p)
+        outs.append(bdot(p, v, ((1,), (0,))).astype(cdt))
+    a = jnp.concatenate(outs, axis=-1)  # (S, W) cdt
+
+    a_ao = bdot(a, aoA, ((1,), (0,)))
+    ao = bdot(a, wo, ((1,), (0,))) + bo + scaling * bdot(a_ao, aoB, ((1,), (0,)))
+    y1 = xf + ao
+
+    h2f, xhat2, inv2 = _ln_fwd(y1, ln2s, ln2b, eps)
+    h2 = h2f.astype(cdt)
+    h2_af = bdot(h2, afA, ((1,), (0,)))
+    acc1, h2s = _q_dot(h2f, w1q, ((1,), (0,)))
+    f = acc1 * h2s * s1 + b1 + scaling * bdot(h2_af, afB, ((1,), (0,)))
+    u, sig = _qgelu_fwd(f)
+    u_c = u.astype(cdt)
+    u_ap = bdot(u_c, apA, ((1,), (0,)))
+    acc2, us = _q_dot(u, w2q, ((1,), (0,)))
+    mo = acc2 * us * s2 + b2 + scaling * bdot(u_ap, apB, ((1,), (0,)))
+    y = y1 + mo
+    if not keep:
+        return y, None
+    return y, (xf, xhat1, inv1, qkv, probs, a, a_ao, y1, xhat2, inv2,
+               h2, h2_af, f, sig, u_c, u_ap)
+
+
+def _load_int8_refs(ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, wqkv_ref,
+                    sqkv_ref, bqkv_ref, wo_ref, bo_ref, w1_ref, s1_ref,
+                    b1_ref, w2_ref, s2_ref, b2_ref, aoA_ref, aoB_ref,
+                    afA_ref, afB_ref, apA_ref, apB_ref):
+    f32 = lambda r: r[:].astype(jnp.float32)
+    return (f32(ln1s_ref), f32(ln1b_ref), f32(ln2s_ref), f32(ln2b_ref),
+            wqkv_ref[:], f32(sqkv_ref), f32(bqkv_ref), wo_ref[:],
+            f32(bo_ref), w1_ref[:], f32(s1_ref), f32(b1_ref), w2_ref[:],
+            f32(s2_ref), f32(b2_ref), aoA_ref[:], aoB_ref[:], afA_ref[:],
+            afB_ref[:], apA_ref[:], apB_ref[:])
+
+
+def _text_block_fwd_int8_kernel(
+    x_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    aoA_ref, aoB_ref, afA_ref, afB_ref, apA_ref, apB_ref,
+    y_ref, *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+):
+    mask = mask_ref[:] * jnp.float32(LOG2E)
+    refs = _load_int8_refs(
+        ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+        wo_ref, bo_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+        aoA_ref, aoB_ref, afA_ref, afB_ref, apA_ref, apB_ref)
+    for gidx in range(x_ref.shape[0]):
+        y, _ = _int8_block_fwd_stage(
+            x_ref[gidx], mask, refs, heads=heads, dim=dim, scale=scale,
+            scaling=scaling, eps=eps, keep=False)
+        y_ref[gidx] = y.astype(y_ref.dtype)
+
+
+def _text_block_bwd_int8_kernel(
+    x_ref, dy_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    aoA_ref, aoB_ref, afA_ref, afB_ref, apA_ref, apB_ref,
+    dx_ref, daoA_ref, daoB_ref, dafA_ref, dafB_ref, dapA_ref, dapB_ref,
+    *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+):
+    width = heads * dim
+    cdt = x_ref.dtype
+    prec = _mm_prec(cdt)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        daoA_ref[:] = jnp.zeros_like(daoA_ref)
+        daoB_ref[:] = jnp.zeros_like(daoB_ref)
+        dafA_ref[:] = jnp.zeros_like(dafA_ref)
+        dafB_ref[:] = jnp.zeros_like(dafB_ref)
+        dapA_ref[:] = jnp.zeros_like(dapA_ref)
+        dapB_ref[:] = jnp.zeros_like(dapB_ref)
+
+    mask = mask_ref[:] * jnp.float32(LOG2E)
+    refs = _load_int8_refs(
+        ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+        wo_ref, bo_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+        aoA_ref, aoB_ref, afA_ref, afB_ref, apA_ref, apB_ref)
+    (ln1s, _ln1b, ln2s, _ln2b, wqkv_q, sqkv, _bqkv, wo, _bo,
+     w1q, s1, _b1, w2q, s2, _b2, aoA, aoB, afA, afB, apA, apB) = refs
+
+    def bdot(a, b, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    for gidx in range(x_ref.shape[0]):
+        dy = dy_ref[gidx].astype(jnp.float32)
+        _, res = _int8_block_fwd_stage(
+            x_ref[gidx], mask, refs, heads=heads, dim=dim, scale=scale,
+            scaling=scaling, eps=eps, keep=True)
+        (xf, xhat1, inv1, qkv, probs, a, a_ao, _y1, xhat2, inv2,
+         h2, h2_af, f, sig, u_c, u_ap) = res
+
+        # ---- MLP half: y = y1 + int8(u @ W2) + b2 + s (u Ap) Bp ----------
+        dmo = dy
+        t_p = bdot(dmo, apB, ((1,), (1,)))
+        # STE cotangent through the int8 c_proj: dy @ (W2q*s2)^T ==
+        # rowquant(dy*s2) @ W2q^T (contract both dim-1s) * rowscale
+        du_acc, dms = _q_dot(dmo * s2, w2q, ((1,), (1,)))
+        du = du_acc * dms + scaling * bdot(t_p, apA, ((1,), (1,)))
+        dapA_ref[:] += scaling * bdot(u_c, t_p, ((0,), (0,)))
+        dapB_ref[:] += scaling * bdot(u_ap, dmo, ((0,), (0,)))
+
+        dfq = du * (sig + 1.702 * f * sig * (1.0 - sig))
+        t_f = bdot(dfq, afB, ((1,), (1,)))
+        dh_acc, dfs = _q_dot(dfq * s1, w1q, ((1,), (1,)))
+        dh2 = dh_acc * dfs + scaling * bdot(t_f, afA, ((1,), (1,)))
+        dafA_ref[:] += scaling * bdot(h2, t_f, ((0,), (0,)))
+        dafB_ref[:] += scaling * bdot(h2_af, dfq, ((0,), (0,)))
+
+        dy1 = dy + _ln_bwd(dh2, xhat2, inv2, ln2s)
+
+        # ---- attention half (out proj is bf16, as in serving) ------------
+        dao = dy1
+        t_o = bdot(dao, aoB, ((1,), (1,)))
+        da = bdot(dao, wo, ((1,), (1,))) + scaling * bdot(t_o, aoA, ((1,), (1,)))
+        daoA_ref[:] += scaling * bdot(a, t_o, ((0,), (0,)))
+        daoB_ref[:] += scaling * bdot(a_ao, dao, ((0,), (0,)))
+
+        dqs, dks, dvs = [], [], []
+        for hd in range(heads):
+            p = probs[hd]
+            q = qkv[:, hd * dim:(hd + 1) * dim]
+            k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+            v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+            gh = da[:, hd * dim:(hd + 1) * dim]
+            dv = bdot(p, gh, ((0,), (0,)))
+            dp = bdot(gh, v, ((1,), (1,)))
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = ds * scale
+            dqs.append(bdot(ds, k, ((1,), (0,))))
+            dks.append(bdot(ds, q, ((0,), (0,))))
+            dvs.append(dv)
+        dqkv = jnp.concatenate(
+            [jnp.concatenate(dqs, axis=-1),
+             jnp.concatenate(dks, axis=-1),
+             jnp.concatenate(dvs, axis=-1)], axis=-1)  # (S, 3W) fp32
+
+        dqkv_acc, dqs_scale = _q_dot(dqkv * sqkv, wqkv_q, ((1,), (1,)))
+        dh1 = dqkv_acc * dqs_scale
+        dx = dy1 + _ln_bwd(dh1, xhat1, inv1, ln1s)
+        dx_ref[gidx] = dx.astype(dx_ref.dtype)
+
+
+def _int8_weight_operands(bp: Params, qw: QWeights, lora: Params, cdt):
+    def row(v):
+        return v.reshape(1, -1)
+
+    return (
+        row(bp["ln1"]["scale"]).astype(cdt), row(bp["ln1"]["bias"]).astype(cdt),
+        row(bp["ln2"]["scale"]).astype(cdt), row(bp["ln2"]["bias"]).astype(cdt),
+        qw["wqkv_q"], row(qw["sqkv"]),
+        row(bp["attn"]["bqkv"]).astype(cdt),
+        bp["attn"]["wo"].astype(cdt), row(bp["attn"]["bo"]).astype(cdt),
+        qw["w1_q"], row(qw["s1"]), row(bp["mlp"]["b1"]).astype(cdt),
+        qw["w2_q"], row(qw["s2"]), row(bp["mlp"]["b2"]).astype(cdt),
+        lora["out_proj"]["A"].astype(cdt), lora["out_proj"]["B"].astype(cdt),
+        lora["c_fc"]["A"].astype(cdt), lora["c_fc"]["B"].astype(cdt),
+        lora["c_proj"]["A"].astype(cdt), lora["c_proj"]["B"].astype(cdt),
+    )
+
+
+def _int8_weight_specs(width: int, mlp: int, r_o: int, r_f: int, r_p: int):
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    return [
+        full((1, width)), full((1, width)), full((1, width)), full((1, width)),
+        full((width, 3 * width)), full((1, 3 * width)), full((1, 3 * width)),
+        full((width, width)), full((1, width)),
+        full((width, mlp)), full((1, mlp)), full((1, mlp)),
+        full((mlp, width)), full((1, width)), full((1, width)),
+        full((width, r_o)), full((r_o, width)),
+        full((width, r_f)), full((r_f, mlp)),
+        full((mlp, r_p)), full((r_p, width)),
+    ]
+
+
+def _int8_text_block_vmem_bytes(group: int, seq: int, width: int,
+                                mlp_dim: int, heads: int) -> int:
+    """Same accounting as _text_block_vmem_bytes but with int8 backbone
+    weights (wo stays bf16) and the extra int8 quant slabs."""
+    rows = group * seq
+    weights = (3 * width * width + 2 * width * mlp_dim) + 2 * width * width
+    return weights + (
+        3 * rows * width * 2
+        + seq * seq * 4
+        + rows * 3 * width * (4 + 2)
+        + group * heads * seq * seq * 4
+        + 3 * rows * mlp_dim * 4
+        + 6 * rows * width * 4
+        + rows * (width + mlp_dim)      # int8 quantized activations
+    )
+
+
+def text_block_int8_fits(seq: int, width: int, mlp_dim: int,
+                         heads: int) -> bool:
+    return _int8_text_block_vmem_bytes(1, seq, width, mlp_dim,
+                                       heads) <= _BLOCK_VMEM_BUDGET
+
+
+def _pick_group_int8(bsz, seq, width, mlp_dim, heads, want=2):
+    group = want
+    while bsz % group != 0:
+        group //= 2
+    group = max(group, 1)
+    while group > 1 and _int8_text_block_vmem_bytes(
+            group, seq, width, mlp_dim, heads) > _BLOCK_VMEM_BUDGET:
+        group //= 2
+    if _int8_text_block_vmem_bytes(group, seq, width, mlp_dim,
+                                   heads) > _BLOCK_VMEM_BUDGET:
+        raise ValueError(
+            f"int8 text block geometry (S={seq}, W={width}, M={mlp_dim}) "
+            "exceeds the VMEM budget even at G=1")
+    return group
+
+
+def text_block_fwd_int8(
+    x: jnp.ndarray, mask: jnp.ndarray, bp: Params, qw: QWeights,
+    lora: Params, *, heads: int, scaling: float, eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    bsz, seq, width = x.shape
+    dim = width // heads
+    mlp = qw["w1_q"].shape[-1]
+    r_o = lora["out_proj"]["A"].shape[-1]
+    r_f = lora["c_fc"]["A"].shape[-1]
+    r_p = lora["c_proj"]["A"].shape[-1]
+    group = _pick_group_int8(bsz, seq, width, mlp, heads)
+
+    return pl.pallas_call(
+        functools.partial(_text_block_fwd_int8_kernel, heads=heads, dim=dim,
+                          scale=dim ** -0.5, scaling=scaling, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        grid=(bsz // group,),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            *_int8_weight_specs(width, mlp, r_o, r_f, r_p),
+        ],
+        out_specs=pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * seq * width * (4 * width + 2 * mlp)
+            + 4 * bsz * heads * seq * seq * dim,
+            bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+            + 3 * width * width + 2 * width * mlp,
+            transcendentals=bsz * (heads * seq * seq + seq * mlp),
+        ),
+        interpret=interpret,
+    )(x, mask.astype(jnp.float32), *_int8_weight_operands(bp, qw, lora, x.dtype))
+
+
+def text_block_bwd_int8(
+    x: jnp.ndarray, dy: jnp.ndarray, mask: jnp.ndarray,
+    bp: Params, qw: QWeights, lora: Params, *,
+    heads: int, scaling: float, eps: float = 1e-5, interpret: bool = False,
+) -> Tuple[jnp.ndarray, Params]:
+    bsz, seq, width = x.shape
+    dim = width // heads
+    mlp = qw["w1_q"].shape[-1]
+    r_o = lora["out_proj"]["A"].shape[-1]
+    r_f = lora["c_fc"]["A"].shape[-1]
+    r_p = lora["c_proj"]["A"].shape[-1]
+    group = _pick_group_int8(bsz, seq, width, mlp, heads)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        jax.ShapeDtypeStruct((width, r_o), jnp.float32),
+        jax.ShapeDtypeStruct((r_o, width), jnp.float32),
+        jax.ShapeDtypeStruct((width, r_f), jnp.float32),
+        jax.ShapeDtypeStruct((r_f, mlp), jnp.float32),
+        jax.ShapeDtypeStruct((mlp, r_p), jnp.float32),
+        jax.ShapeDtypeStruct((r_p, width), jnp.float32),
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_text_block_bwd_int8_kernel, heads=heads, dim=dim,
+                          scale=dim ** -0.5, scaling=scaling, eps=eps),
+        out_shape=out_shapes,
+        grid=(bsz // group,),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            *_int8_weight_specs(width, mlp, r_o, r_f, r_p),
+        ],
+        out_specs=(
+            pl.BlockSpec((group, seq, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            full((width, r_o)), full((r_o, width)),
+            full((width, r_f)), full((r_f, mlp)),
+            full((mlp, r_p)), full((r_p, width)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * bsz * seq * width * (4 * width + 2 * mlp)
+            + 6 * 2 * bsz * heads * seq * seq * dim,
+            bytes_accessed=4 * bsz * seq * width * x.dtype.itemsize
+            + 3 * width * width + 2 * width * mlp,
+            transcendentals=bsz * (heads * seq * seq + seq * mlp),
+        ),
+        interpret=interpret,
+    )(x, dy.astype(x.dtype), mask.astype(jnp.float32),
+      *_int8_weight_operands(bp, qw, lora, x.dtype))
+    dx = outs[0]
+    z = lora
+    dlora = {
+        "out_proj": {"A": outs[1].astype(z["out_proj"]["A"].dtype),
+                     "B": outs[2].astype(z["out_proj"]["B"].dtype)},
+        "c_fc": {"A": outs[3].astype(z["c_fc"]["A"].dtype),
+                 "B": outs[4].astype(z["c_fc"]["B"].dtype)},
+        "c_proj": {"A": outs[5].astype(z["c_proj"]["A"].dtype),
+                   "B": outs[6].astype(z["c_proj"]["B"].dtype)},
+    }
+    return dx, dlora
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def text_block_lora_int8(x, bp, qw, lora, mask, heads, scaling,
+                         interpret=False):
+    """One training text block in the SERVING int8 numerics with a
+    hand-written whole-block backward. Differentiable in x and the LoRA
+    tree; the int8 backbone weights and scales are constants (frozen).
+    Backward uses the straight-through estimator through the activation
+    quantization and runs its cotangent matmuls int8 — gradients match the
+    bf16-exact path to ~1e-2 relative (gradient-cosine gated in tests)."""
+    return text_block_fwd_int8(x, mask, bp, qw, lora, heads=heads,
+                               scaling=scaling, interpret=interpret)
+
+
+def _tbi_fwd(x, bp, qw, lora, mask, heads, scaling, interpret):
+    y = text_block_fwd_int8(x, mask, bp, qw, lora, heads=heads,
+                            scaling=scaling, interpret=interpret)
+    return y, (x, bp, qw, lora, mask)
+
+
+def _tbi_bwd(heads, scaling, interpret, res, dy):
+    import numpy as _np
+
+    x, bp, qw, lora, mask = res
+    dx, dlora = text_block_bwd_int8(
+        x, dy, mask, bp, qw, lora,
+        heads=heads, scaling=scaling, interpret=interpret,
+    )
+    dbp = jax.tree.map(jnp.zeros_like, bp)
+    # int8 weight leaves are integer primals: their cotangent dtype is float0
+    dqw = jax.tree.map(
+        lambda v: (_np.zeros(v.shape, jax.dtypes.float0)
+                   if jnp.issubdtype(v.dtype, jnp.integer)
+                   else jnp.zeros_like(v)),
+        qw)
+    return dx, dbp, dqw, dlora, jnp.zeros_like(mask)
+
+
+text_block_lora_int8.defvjp(_tbi_fwd, _tbi_bwd)
 
 
 # ---------------------------------------------------------------------------

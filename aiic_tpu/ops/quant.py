@@ -161,6 +161,32 @@ def _mlp_chunk_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
     )
 
 
+def _mlp_plan(bsz: int, seq: int, width: int, mlp_dim: int,
+              itemsize: int) -> Tuple[str, int, int]:
+    """Kernel-blocking decision for the int8 MLP: ("full", G, 1) when the
+    whole (W, M) weight pair fits VMEM at some image group G; otherwise
+    ("chunked", G, C) streaming the hidden axis in C chunks — preferring the
+    LARGEST group first (row-merging across images amortizes the seq->sublane
+    padding: 2x257 -> 544 pads 5.8% vs 257 -> 288's 12%), then the smallest
+    chunk count; ("xla", 1, 1) when nothing fits."""
+    group = 2 if bsz % 2 == 0 else 1
+    while group > 1 and _mlp_vmem_bytes(group, seq, width, mlp_dim,
+                                        itemsize) > _VMEM_BUDGET:
+        group //= 2
+    if _mlp_vmem_bytes(group, seq, width, mlp_dim, itemsize) <= _VMEM_BUDGET:
+        return ("full", group, 1)
+    for g in (2, 1):
+        if bsz % g:
+            continue
+        c = 2
+        while mlp_dim % c == 0 and mlp_dim // c >= 128:
+            if _mlp_chunk_vmem_bytes(g, seq, width, mlp_dim, c,
+                                     itemsize) <= _VMEM_BUDGET:
+                return ("chunked", g, c)
+            c *= 2
+    return ("xla", 1, 1)
+
+
 def _int8_mlp_chunk_kernel(
     x_ref, ln_s_ref, ln_b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o_ref, acc_ref, hq_ref, hs_ref, *, eps: float, n_chunks: int,
@@ -255,54 +281,43 @@ def int8_ln_mlp(
     s2 = s2.reshape(1, width)
     b2 = b2.reshape(1, width)
 
-    group = 2 if bsz % 2 == 0 else 1
-    while group > 1 and _mlp_vmem_bytes(group, seq, width, mlp_dim,
-                                        x.dtype.itemsize) > _VMEM_BUDGET:
-        group //= 2
-    if _mlp_vmem_bytes(group, seq, width, mlp_dim,
-                       x.dtype.itemsize) > _VMEM_BUDGET:
-        # Hidden-axis chunking: smallest C (power of two, 128-aligned
-        # chunks) whose per-step working set fits.
-        n_chunks = 2
-        while (mlp_dim % n_chunks == 0 and mlp_dim // n_chunks >= 128
-               and _mlp_chunk_vmem_bytes(1, seq, width, mlp_dim, n_chunks,
-                                         x.dtype.itemsize) > _VMEM_BUDGET):
-            n_chunks *= 2
-        if (mlp_dim % n_chunks == 0 and mlp_dim // n_chunks >= 128
-                and _mlp_chunk_vmem_bytes(1, seq, width, mlp_dim, n_chunks,
-                                          x.dtype.itemsize) <= _VMEM_BUDGET):
-            chunk = mlp_dim // n_chunks
-            return pl.pallas_call(
-                functools.partial(_int8_mlp_chunk_kernel, eps=eps,
-                                  n_chunks=n_chunks),
-                out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
-                grid=(bsz, n_chunks),
-                in_specs=[
-                    pl.BlockSpec((1, seq, width), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((width, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((chunk, width), lambda b, c: (c, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, seq, width), lambda b, c: (b, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                scratch_shapes=[
-                    pltpu.VMEM((seq, width), jnp.float32),   # residual/output acc
-                    pltpu.VMEM((seq, width), jnp.int8),      # quantized LN output
-                    pltpu.VMEM((seq, 1), jnp.float32),       # per-row LN scales
-                ],
-                cost_estimate=pl.CostEstimate(
-                    flops=2 * 2 * bsz * seq * width * mlp_dim,
-                    bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
-                    + 2 * width * mlp_dim,
-                    transcendentals=bsz * seq * mlp_dim,
-                ),
-                interpret=interpret,
-            )(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2)
+    mode, group, n_chunks = _mlp_plan(bsz, seq, width, mlp_dim,
+                                      x.dtype.itemsize)
+    if mode == "chunked":
+        chunk = mlp_dim // n_chunks
+        rows = group * seq
+        return pl.pallas_call(
+            functools.partial(_int8_mlp_chunk_kernel, eps=eps,
+                              n_chunks=n_chunks),
+            out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+            grid=(bsz // group, n_chunks),
+            in_specs=[
+                pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((width, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, width), lambda b, c: (c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, width), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((rows, width), jnp.float32),  # residual/output acc
+                pltpu.VMEM((rows, width), jnp.int8),     # quantized LN output
+                pltpu.VMEM((rows, 1), jnp.float32),      # per-row LN scales
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * bsz * seq * width * mlp_dim,
+                bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+                + 2 * width * mlp_dim,
+                transcendentals=bsz * seq * mlp_dim,
+            ),
+            interpret=interpret,
+        )(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2)
+    if mode == "xla":
         out = _int8_mlp_rows(
             x.reshape(bsz * seq, width), ln_scale, ln_bias,
             w1_q, s1, b1, w2_q, s2, b2, eps,

@@ -85,6 +85,15 @@ class TrainConfig:
     # one device and under a mesh (shard_map keeps the int8 custom calls
     # per-device).
     quantize_image: bool = False
+    # Run the DIFFERENTIATED text tower with the serving int8 numerics too,
+    # via the whole-block int8 kernel pair (ops/block_grad int8 variant:
+    # int8 backbone matmuls in forward AND backward under the
+    # straight-through estimator, LoRA deltas bf16). Requires
+    # attn_impl="block_fused"; forces bf16 text compute. The serving engine
+    # precomputes text features through the int8 kernels, so this trains
+    # adapters against the numerics actually deployed — and double-pumps the
+    # backbone MACs.
+    quantize_text: bool = False
 
 
 def contrastive_loss(
@@ -182,6 +191,13 @@ def make_train_step(
             # trade (ops/block_grad); wrapping it in jax.checkpoint would
             # just replay the forward a third time.
             text_remat = False
+            if cfg.quantize_text:
+                from aiic_tpu.ops.block_grad import text_block_int8_fits
+
+                if text_block_int8_fits(
+                        config.context_length, config.text.width,
+                        config.text.mlp_dim, config.text.heads):
+                    text_impl = "block_fused_int8"
         else:
             text_impl = ("pallas_vjp"
                          if jax.default_backend() == "tpu"
@@ -215,11 +231,15 @@ def make_train_step(
         path — without reaching into the closure)."""
         return _image_fn(params["visual"], pixels)
 
+    # The int8 text kernel runs the serving composition, whose compute
+    # dtype is bf16 (int8 MACs + bf16 core); plain cfg.dtype otherwise.
+    text_dtype = jnp.bfloat16 if text_impl == "block_fused_int8" else cfg.dtype
+
     def loss_fn(lora_tree, params, pixels, tokens, rng=None):
         img = jax.lax.stop_gradient(image_features(params, pixels))
         txt = normalize_features(
             encode_text(
-                params, tokens, config, dtype=cfg.dtype, attn_impl=text_impl,
+                params, tokens, config, dtype=text_dtype, attn_impl=text_impl,
                 lora=lora_tree, lora_scaling=scaling,
                 lora_dropout=cfg.lora_dropout if rng is not None else 0.0,
                 lora_rng=rng,
@@ -329,14 +349,19 @@ def train_lora(
     if params is None:
         params = init_clip_params(jax.random.PRNGKey(cfg.seed), config)
 
-    if cfg.quantize_image:
+    if cfg.quantize_image or cfg.quantize_text:
         from aiic_tpu.ops.quant import quantize_model_mlp
 
-        # int8 weights on the FROZEN tower only; the text tower keeps fp
-        # weights (its LoRA attach points bypass the int8 kernels anyway).
-        # Works under a mesh too: the frozen tower runs inside shard_map
-        # over ('data',) with replicated visual weights.
-        params = quantize_model_mlp(params, attn=True, towers=("visual",))
+        # int8 weights on the selected towers. quantize_image: the FROZEN
+        # tower runs the serving int8 kernels (works under a mesh too — it
+        # runs inside shard_map over ('data',) with replicated weights).
+        # quantize_text: the DIFFERENTIATED tower's backbone weights go
+        # int8 for the whole-block int8 train kernel (block_fused only,
+        # single device).
+        towers = tuple(
+            t for t, on in (("visual", cfg.quantize_image),
+                            ("text", cfg.quantize_text)) if on)
+        params = quantize_model_mlp(params, attn=True, towers=towers)
 
     if image_root is None:
         image_root = os.path.dirname(os.path.abspath(json_path))

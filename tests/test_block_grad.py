@@ -238,3 +238,126 @@ def test_block_fused_under_mesh_falls_back_in_make_train_step():
     loss, _new_lora, _ = jt(sp, sl, so, pixels, jnp.asarray(tokens),
                             jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# int8 (serving-numerics) training kernels
+# ---------------------------------------------------------------------------
+
+
+def _quantized(bp):
+    from aiic_tpu.ops.quant import quantize_weight
+
+    wqkv_q, sqkv = quantize_weight(bp["attn"]["wqkv"])
+    w1_q, s1 = quantize_weight(bp["mlp"]["w1"])
+    w2_q, s2 = quantize_weight(bp["mlp"]["w2"])
+    return {"wqkv_q": wqkv_q, "sqkv": sqkv,
+            "w1_q": w1_q, "s1": s1, "w2_q": w2_q, "s2": s2}
+
+
+def test_int8_block_forward_close_to_fp():
+    """The int8 whole-block forward must stay >=0.999 cosine (and close
+    row-wise) vs the fp composition — validates the scale algebra of every
+    int8 matmul (a wrong dequant would produce garbage, not 0.999)."""
+    from aiic_tpu.ops.block_grad import text_block_fwd_int8
+
+    bp, lora, x, mask, scaling = _setup()
+    heads = CFG.text.heads
+    qw = _quantized(bp)
+
+    ref = np.asarray(_ref_fwd(x, bp, lora, mask, heads, scaling), np.float32)
+    out = np.asarray(
+        text_block_fwd_int8(x.astype(jnp.bfloat16), mask, bp, qw, lora,
+                            heads=heads, scaling=scaling, interpret=True),
+        np.float32)
+    a, b = ref.reshape(-1, ref.shape[-1]), out.reshape(-1, out.shape[-1])
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_int8_block_grads_close_to_bf16_path():
+    """STE gradients through the int8 kernel must track the bf16-exact
+    whole-block gradients closely (per-leaf cosine): quantization noise,
+    not a different function."""
+    from aiic_tpu.ops.block_grad import text_block_lora, text_block_lora_int8
+
+    bp, lora, x, mask, scaling = _setup()
+    heads = CFG.text.heads
+    qw = _quantized(bp)
+    xb = x.astype(jnp.bfloat16)
+    g = jnp.asarray(np.random.default_rng(3).standard_normal(x.shape)
+                    .astype(np.float32))
+
+    def loss_bf16(xx, lt):
+        y = text_block_lora(xx, bp, lt, mask, heads, scaling, True)
+        return (y.astype(jnp.float32) * g).sum()
+
+    def loss_int8(xx, lt):
+        y = text_block_lora_int8(xx, bp, qw, lt, mask, heads, scaling, True)
+        return (y.astype(jnp.float32) * g).sum()
+
+    (dx_a, dl_a) = jax.grad(loss_bf16, argnums=(0, 1))(xb, lora)
+    (dx_b, dl_b) = jax.grad(loss_int8, argnums=(0, 1))(xb, lora)
+
+    def cos(u, v):
+        u = np.asarray(u, np.float32).ravel()
+        v = np.asarray(v, np.float32).ravel()
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-12))
+
+    assert cos(dx_a, dx_b) > 0.98, cos(dx_a, dx_b)
+    for k in ("out_proj", "c_fc", "c_proj"):
+        for f in ("A", "B"):
+            c = cos(dl_a[k][f], dl_b[k][f])
+            assert c > 0.98, (k, f, c)
+
+
+def test_quantize_text_train_step_runs_and_trains():
+    """TrainConfig(quantize_text=True) routes the text tower through the
+    int8 whole-block kernel (clip.block 'block_fused_int8') and a full
+    train step produces finite loss + adapter movement."""
+    from aiic_tpu.adapters import LoRAConfig, init_text_lora
+    from aiic_tpu.ops.quant import quantize_model_mlp
+    from aiic_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
+
+    tc = TrainConfig(epochs=1, batch_size=4, rank=2, alpha=4,
+                     attach=("c_fc", "c_proj", "out_proj"),
+                     attn_impl="block_fused", quantize_text=True,
+                     image_attn_impl="xla", dtype=jnp.bfloat16)
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    params = quantize_model_mlp(params, attn=True, towers=("text",))
+    lora = init_text_lora(jax.random.PRNGKey(1), CFG, LoRAConfig(2, 4, tc.attach))
+    lora_before = jax.tree.map(np.asarray, lora)
+    opt = make_optimizer(tc, steps_per_epoch=1)
+    ts, _es = make_train_step(CFG, tc, opt)
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal(
+        (4, CFG.image_size, CFG.image_size, 3)).astype(np.float32))
+    tokens = rng.integers(1, CFG.vocab_size - 2,
+                          (4, CFG.context_length)).astype(np.int32)
+    tokens[:, 0] = CFG.vocab_size - 2
+    tokens[:, -1] = CFG.vocab_size - 1
+    loss, new_lora, _ = jax.jit(ts)(params, lora, opt.init(lora), pixels,
+                                    jnp.asarray(tokens), jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    moved = any(
+        np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max() > 0
+        for a, b in zip(jax.tree.leaves(lora_before), jax.tree.leaves(new_lora)))
+    assert moved
+
+
+def test_block_fused_int8_routing_falls_back_without_qweights():
+    """attn_impl='block_fused_int8' without attn_q/mlp_q in the params tree
+    must fall back to the bf16 whole-block kernel (same output)."""
+    from aiic_tpu.models.clip import block
+
+    bp, lora, x, mask, scaling = _setup()
+    heads = CFG.text.heads
+    xb = x.astype(jnp.bfloat16)
+    a = block(xb, bp, heads, mask, "quick_gelu", lora=lora,
+              lora_scaling=scaling, attn_impl="block_fused")
+    b = block(xb, bp, heads, mask, "quick_gelu", lora=lora,
+              lora_scaling=scaling, attn_impl="block_fused_int8")
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))

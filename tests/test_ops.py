@@ -415,9 +415,11 @@ def test_vmem_guard_geometry_selection():
 
 def test_int8_mlp_large_geometry_chunked_kernel():
     """ViT-L/14 geometry routes int8_ln_mlp through the hidden-axis-chunked
-    Pallas kernel (C=2): exact match vs its XLA reference
-    (_int8_mlp_rows(n_chunks=2)) and close to the fp32 MLP math."""
-    from aiic_tpu.ops.quant import _int8_mlp_rows, int8_ln_mlp, quantize_weight
+    Pallas kernel: exact match vs its XLA reference
+    (_int8_mlp_rows(n_chunks=C)) and close to the fp32 MLP math."""
+    from aiic_tpu.ops.quant import (
+        _int8_mlp_rows, _mlp_plan, int8_ln_mlp, quantize_weight,
+    )
 
     rng = np.random.default_rng(0)
     b, s, w, m = 2, 257, 1024, 4096
@@ -440,10 +442,12 @@ def test_int8_mlp_large_geometry_chunked_kernel():
     # values land on a round() boundary and flip one int8 level between the
     # two separately compiled programs (FMA fusion differences) — bound the
     # error at one quantization step and require the bulk to match exactly.
+    mode, group, n_chunks = _mlp_plan(b, s, w, m, x.dtype.itemsize)
+    assert mode == "chunked" and group == 2 and n_chunks >= 2, (mode, group, n_chunks)
     ref_chunked = _int8_mlp_rows(
         x.reshape(b * s, w), ln_s.reshape(1, w), ln_b.reshape(1, w),
         w1_q, s1.reshape(1, m), b1.reshape(1, m),
-        w2_q, s2.reshape(1, w), b2.reshape(1, w), 1e-5, n_chunks=2,
+        w2_q, s2.reshape(1, w), b2.reshape(1, w), 1e-5, n_chunks=n_chunks,
     ).reshape(b, s, w)
     diff = np.abs(np.asarray(out) - np.asarray(ref_chunked))
     assert diff.max() < 5e-3, diff.max()            # <= one quant level
@@ -649,14 +653,17 @@ def test_l14_geometry_serving_tower_kernels_close_to_fp():
 
     cfg = dataclasses.replace(
         VIT_L_14,
-        vision=TowerConfig(width=1024, layers=2, heads=16),
-        text=TowerConfig(width=768, layers=2, heads=12),
+        # depth/batch cut to the minimum that still routes through both
+        # kernels at the REAL per-layer geometry (full-depth coverage runs
+        # on the chip: tools/zoo_cosine.py, min cosine 0.999833)
+        vision=TowerConfig(width=1024, layers=1, heads=16),
+        text=TowerConfig(width=768, layers=1, heads=12),
     )
     assert cfg.vision_seq_len == 257
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
     qparams = quantize_model(params)
     px = jax.random.uniform(jax.random.PRNGKey(1),
-                            (2, cfg.image_size, cfg.image_size, 3),
+                            (1, cfg.image_size, cfg.image_size, 3),
                             jnp.bfloat16)
     base = np.asarray(encode_image(params, px, cfg, dtype=jnp.bfloat16,
                                    attn_impl="xla"), np.float32)

@@ -31,17 +31,23 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     quantize = "int8" in sys.argv[3:]
-    impl = "block_fused" if "block" in sys.argv[3:] else "auto"
+    # "text8": the int8 whole-block TEXT kernel pair (serving-numerics text
+    # tower, STE gradients) — implies block_fused.
+    quantize_text = "text8" in sys.argv[3:]
+    impl = ("block_fused" if ("block" in sys.argv[3:] or quantize_text)
+            else "auto")
     config = VIT_B_16
     tcfg = TrainConfig(epochs=1, batch_size=batch, rank=16, alpha=32,
                        dtype=jnp.bfloat16, quantize_image=quantize,
-                       attn_impl=impl)
+                       quantize_text=quantize_text, attn_impl=impl)
 
     params = init_clip_params(jax.random.PRNGKey(0), config)
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
-    if quantize:
+    if quantize or quantize_text:
         from aiic_tpu.ops.quant import quantize_model_mlp
-        params = quantize_model_mlp(params, attn=True, towers=("visual",))
+        towers = tuple(t for t, on in (("visual", quantize),
+                                       ("text", quantize_text)) if on)
+        params = quantize_model_mlp(params, attn=True, towers=towers)
     lora = init_text_lora(jax.random.PRNGKey(1), config, LoRAConfig(16, 32, tcfg.attach))
     opt = make_optimizer(tcfg, steps_per_epoch=100)
     opt_state = opt.init(lora)

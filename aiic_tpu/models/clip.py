@@ -272,14 +272,16 @@ def block(
 
     # Whole-block fused int8 kernel (ops/quant.int8_block): attn half + MLP
     # half in ONE program, bit-identical to the kernel pair. MEASURED DEAD
-    # END as the default at ViT-B/16: the fused working set only fits VMEM
-    # at G=1, losing the pair's G=2 row-merge that amortizes the 197->224
-    # sublane padding (12% dead MACs on every projection) — bench.py 5588
-    # vs 6009 img/s (-7%), and the saved per-layer HBM round trip of y1
-    # doesn't cover it (docs/PERF_NOTES.md). Opt-in for geometries where
-    # G>=2 fits (smaller widths) via AIIC_FUSED_BLOCK=1.
+    # END at ViT-B/16 (fused working set only fits at G=1, losing the pair's
+    # G=2 row-merge: bench.py 5588 vs 6009 img/s) but a MEASURED WIN where
+    # G>=2 fits the fused budget: ViT-B/32 16,702 vs 16,160 img/s (+3.4% —
+    # at S=50 the per-layer y1 HBM round trips the fusion removes are a
+    # larger share of layer time). AUTO-selected exactly on that rule:
+    # engage when the fused estimator fits at G=2; AIIC_FUSED_BLOCK=1
+    # forces it anyway (G=1), =0 disables.
+    _fused_env = os.environ.get("AIIC_FUSED_BLOCK", "auto")
     if (
-        os.environ.get("AIIC_FUSED_BLOCK", "0") == "1"
+        _fused_env != "0"
         and "attn_q" in p
         and "mlp_q" in p
         and attn_impl in ("pallas", "pallas_mlp")
@@ -289,21 +291,29 @@ def block(
         and gelu_type == "quick_gelu"
         and x.dtype == jnp.bfloat16
     ):
-        from aiic_tpu.ops.quant import int8_block
-
-        on_tpu = jax.default_backend() == "tpu"
-        aq, mq = p["attn_q"], p["mlp_q"]
-        fused = int8_block(
-            x, p["ln1"]["scale"], p["ln1"]["bias"],
-            aq["wqkv_q"], aq["sqkv"], p["attn"]["bqkv"], p["attn"]["wo"],
-            p["attn"]["bo"], mask,
-            p["ln2"]["scale"], p["ln2"]["bias"],
-            mq["w1_q"], mq["s1"], p["mlp"]["b1"],
-            mq["w2_q"], mq["s2"], p["mlp"]["b2"],
-            heads=heads, interpret=not on_tpu,
+        from aiic_tpu.ops.quant import (
+            _VMEM_BUDGET, _block_vmem_bytes, int8_block,
         )
-        if fused is not None:
-            return fused
+
+        if _fused_env != "1" and _block_vmem_bytes(
+                2, x.shape[1], x.shape[2], p["mlp"]["w1"].shape[-1],
+                x.dtype.itemsize) > _VMEM_BUDGET:
+            int8_block = None  # G=2 does not fit: the kernel pair wins
+
+        if int8_block is not None:
+            on_tpu = jax.default_backend() == "tpu"
+            aq, mq = p["attn_q"], p["mlp_q"]
+            fused = int8_block(
+                x, p["ln1"]["scale"], p["ln1"]["bias"],
+                aq["wqkv_q"], aq["sqkv"], p["attn"]["bqkv"], p["attn"]["wo"],
+                p["attn"]["bo"], mask,
+                p["ln2"]["scale"], p["ln2"]["bias"],
+                mq["w1_q"], mq["s1"], p["mlp"]["b1"],
+                mq["w2_q"], mq["s2"], p["mlp"]["b2"],
+                heads=heads, interpret=not on_tpu,
+            )
+            if fused is not None:
+                return fused
 
     # int8 attention half-block (ops/quant.py): selected when the params
     # carry quantized projection weights (quantize_model) on the bf16

@@ -673,3 +673,15 @@ def test_l14_geometry_serving_tower_kernels_close_to_fp():
         np.linalg.norm(base, axis=-1) * np.linalg.norm(quant, axis=-1) + 1e-9
     )
     assert cos.min() > 0.999, cos
+
+
+def test_fused_block_auto_selection_rule():
+    """The fused whole-block serving kernel auto-engages exactly where its
+    G=2 working set fits (measured: WIN at ViT-B/32 16,702 vs 16,160 img/s;
+    LOSS at ViT-B/16 where it forces G=1 — models.clip gates on this)."""
+    from aiic_tpu.ops.quant import _VMEM_BUDGET, _block_vmem_bytes
+
+    # B/16: G=2 fused does not fit -> kernel pair stays the serving default
+    assert _block_vmem_bytes(2, 197, 768, 3072, 2) > _VMEM_BUDGET
+    # B/32 (S=50): G=2 fits -> fused auto-engages
+    assert _block_vmem_bytes(2, 50, 768, 3072, 2) <= _VMEM_BUDGET

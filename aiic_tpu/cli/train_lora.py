@@ -34,6 +34,11 @@ def main(argv=None):
                         "serving numerics via the whole-block int8 kernel "
                         "pair (requires --attn-impl block_fused; gradients "
                         "use the straight-through estimator)")
+    p.add_argument("--no-feature-cache", action="store_true",
+                   help="recompute the frozen image tower every step "
+                        "(reference behavior) instead of caching per-image "
+                        "features once — same loss trajectory, ~2x slower "
+                        "steps; the cache is on by default")
     p.add_argument("--test", action="store_true", help="evaluate a trained adapter")
     p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt / HF)")
     p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
@@ -93,6 +98,7 @@ def main(argv=None):
             quantize_image=args.quantize_image,
             quantize_text=args.quantize_text, dtype=jnp.dtype(args.dtype),
             attn_impl=args.attn_impl,
+            cache_image_features=not args.no_feature_cache,
         ),
         image_root=args.image_root,
         mesh=mesh,

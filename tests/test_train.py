@@ -190,7 +190,8 @@ def test_train_lora_with_mesh(synth_dataset, tmp_path):
     mesh = create_mesh(8, tp=2)
     out = train_lora(
         json_path, str(tmp_path / "m.pth"), config=TINY_TEST,
-        cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4, seed=0),
+        cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4, seed=0,
+                        cache_image_features=False),  # per-step tower path
         image_root=root, mesh=mesh, log=lambda *_: None,
     )
     assert np.isfinite(out["best_val_loss"])
@@ -249,7 +250,8 @@ def test_quantize_image_under_mesh_trains(synth_dataset, tmp_path):
     out = train_lora(
         json_path, str(tmp_path / "x.pth"), config=TINY_TEST,
         cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4,
-                        quantize_image=True, image_attn_impl="pallas"),
+                        quantize_image=True, image_attn_impl="pallas",
+                        cache_image_features=False),  # per-step int8 tower
         image_root=root, mesh=create_mesh(8, tp=2), log=lambda *_: None,
     )
     assert np.isfinite(out["best_val_loss"])
@@ -296,3 +298,53 @@ def test_pallas_vjp_train_step_matches_xla_on_cpu():
                     jax.tree.leaves(results["pallas_vjp"][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-5)
+
+
+def test_feature_cache_matches_per_step_recompute(synth_dataset, tmp_path):
+    """cache_image_features=True (the default) must reproduce the uncached
+    loss trajectory exactly: the frozen tower + deterministic preprocessing
+    make per-image features batch-composition-independent, and batch_tokens
+    replays batch()'s rng draws, so the two runs see identical (features,
+    prompts) streams."""
+    json_path, root = synth_dataset
+    common = dict(epochs=2, batch_size=8, rank=2, alpha=4, seed=0)
+    cached = train_lora(
+        json_path, str(tmp_path / "c.pth"), config=TINY_TEST,
+        cfg=TrainConfig(cache_image_features=True, **common),
+        image_root=root, log=lambda *_: None,
+    )
+    recomputed = train_lora(
+        json_path, str(tmp_path / "r.pth"), config=TINY_TEST,
+        cfg=TrainConfig(cache_image_features=False, **common),
+        image_root=root, log=lambda *_: None,
+    )
+    for hc, hr in zip(cached["history"], recomputed["history"]):
+        np.testing.assert_allclose(hc["train_loss"], hr["train_loss"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(hc["val_loss"], hr["val_loss"],
+                                   rtol=0, atol=1e-6)
+    for kc, kr in zip(jax.tree.leaves(cached["lora_tree"]),
+                      jax.tree.leaves(recomputed["lora_tree"])):
+        np.testing.assert_allclose(np.asarray(kc), np.asarray(kr), atol=1e-6)
+
+
+def test_feature_cache_under_mesh(synth_dataset, tmp_path):
+    """The cached table is precomputed through the shard_map'd image branch
+    (sharded params, ('data',)-placed pixels) and the text-only step runs
+    sharded; loss matches the single-device cached run."""
+    from aiic_tpu.parallel import create_mesh
+
+    json_path, root = synth_dataset
+    common = dict(epochs=1, batch_size=8, rank=2, alpha=4, seed=0)
+    single = train_lora(
+        json_path, str(tmp_path / "s.pth"), config=TINY_TEST,
+        cfg=TrainConfig(**common), image_root=root, log=lambda *_: None,
+    )
+    meshed = train_lora(
+        json_path, str(tmp_path / "m.pth"), config=TINY_TEST,
+        cfg=TrainConfig(**common), image_root=root,
+        mesh=create_mesh(8, tp=2), log=lambda *_: None,
+    )
+    np.testing.assert_allclose(
+        meshed["history"][0]["train_loss"], single["history"][0]["train_loss"],
+        rtol=0, atol=2e-5)

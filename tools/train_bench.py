@@ -1,13 +1,15 @@
 """LoRA training-step throughput on the real chip (BASELINE config #4).
 
-    python tools/train_bench.py [batch] [iters] [int8] [block]
+    python tools/train_bench.py [batch] [iters] [int8] [block] [cached]
 
 ``int8`` quantizes the frozen image tower (serving-numerics adapters);
 ``block`` selects the whole-text-block backward kernel (attn_impl
 block_fused — ~5-22 min first cold Mosaic compile, fastest steady state:
-2681 img/s at batch 1024 with int8). Synthetic batch (compute-path
-benchmark); prints steps/sec and images/sec to stderr and one JSON line to
-stdout.
+2681 img/s at batch 1024 with int8); ``cached`` measures the feature-cache
+steady state (TrainConfig.cache_image_features, the train_lora default):
+image features precomputed once, every step text-only. Synthetic batch
+(compute-path benchmark); prints steps/sec and images/sec to stderr and one
+JSON line to stdout.
 """
 
 import json
@@ -34,6 +36,7 @@ def main():
     # "text8": the int8 whole-block TEXT kernel pair (serving-numerics text
     # tower, STE gradients) — implies block_fused.
     quantize_text = "text8" in sys.argv[3:]
+    cached = "cached" in sys.argv[3:]
     impl = ("block_fused" if ("block" in sys.argv[3:] or quantize_text)
             else "auto")
     config = VIT_B_16
@@ -51,11 +54,22 @@ def main():
     lora = init_text_lora(jax.random.PRNGKey(1), config, LoRAConfig(16, 32, tcfg.attach))
     opt = make_optimizer(tcfg, steps_per_epoch=100)
     opt_state = opt.init(lora)
-    train_step, _ = make_train_step(config, tcfg, opt)
+    train_step, _ = make_train_step(config, tcfg, opt, cached_image=cached)
     jt = jax.jit(train_step, donate_argnums=(1, 2))
 
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32), jnp.bfloat16)
+    if cached:
+        # The steady state of feature-cache training: the tower ran ONCE up
+        # front (at serving throughput, see bench.py); each step consumes
+        # the precomputed [B, D] slice.
+        ifn = jax.jit(train_step.image_features)
+        t0 = time.perf_counter()
+        feats = ifn(params, pixels)
+        float(jnp.sum(feats))  # hard sync
+        print(f"feature precompute (once per dataset pass): "
+              f"{time.perf_counter()-t0:.1f}s for {batch} images", file=sys.stderr)
+        pixels = feats
     tokens = rng.integers(1, 49400, (batch, 77)).astype(np.int32)
     tokens[:, 0] = 49406
     tokens[:, -1] = 49407
@@ -73,13 +87,16 @@ def main():
         loss = float(loss)  # hard sync
     dt = (time.perf_counter() - t0) / iters
     print(f"{dt*1e3:.1f} ms/step -> {batch/dt:.1f} img/s (train)", file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(batch / dt, 1),
         "unit": "img/s",
         "batch": batch,
         "final_loss": round(loss, 4),
-    }))
+    }
+    if cached:
+        out["cached_features"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

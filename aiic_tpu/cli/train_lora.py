@@ -34,6 +34,12 @@ def main(argv=None):
                         "serving numerics via the whole-block int8 kernel "
                         "pair (requires --attn-impl block_fused; gradients "
                         "use the straight-through estimator)")
+    p.add_argument("--no-dedup-prompts", action="store_true",
+                   help="encode every batch row's tokens densely instead of "
+                        "encoding the unique-prompt pool once per step and "
+                        "gathering by index (identical numerics; dedup only "
+                        "engages when the pool fits the batch and dropout "
+                        "is 0)")
     p.add_argument("--no-feature-cache", action="store_true",
                    help="recompute the frozen image tower every step "
                         "(reference behavior) instead of caching per-image "
@@ -99,6 +105,7 @@ def main(argv=None):
             quantize_text=args.quantize_text, dtype=jnp.dtype(args.dtype),
             attn_impl=args.attn_impl,
             cache_image_features=not args.no_feature_cache,
+            dedup_prompts=not args.no_dedup_prompts,
         ),
         image_root=args.image_root,
         mesh=mesh,

@@ -106,6 +106,18 @@ class TrainConfig:
     # form; caching is the TPU-native form of the same semantics.
     # Auto-disabled under multi-process runs (the table is host-gathered).
     cache_image_features: bool = True
+    # The prompt pool is tiny (1-4 template strings per item,
+    # train_lora.py:129-137) while TPU-native batches are large, so a
+    # B=1024 batch contains the same few dozen token rows over and over.
+    # With this on (default), the step encodes the GLOBAL unique-prompt
+    # pool once ([P, 77], a compile-time constant) and gathers each row's
+    # feature by index — mathematically identical loss and gradients (the
+    # text tower is row-independent; duplicate rows' cotangents sum by
+    # linearity), at pool-sized instead of batch-sized text-tower work.
+    # Engages only when P <= batch_size (otherwise dense is cheaper) and
+    # lora_dropout == 0 (a shared dropout mask across duplicates would
+    # change the reference semantics).
+    dedup_prompts: bool = True
 
 
 def contrastive_loss(
@@ -140,6 +152,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
     cached_image: bool = False,
+    prompt_pool: Optional[np.ndarray] = None,
 ) -> Callable:
     """Jittable (params, lora, opt_state, pixels, tokens) -> (loss, lora, opt_state).
 
@@ -149,6 +162,14 @@ def make_train_step(
     step behind ``TrainConfig.cache_image_features``. The batch-leading
     layout is unchanged, so ``shard_train_step``'s ('data',) input sharding
     applies as-is.
+
+    ``prompt_pool``: a ``[P, context_length]`` token table of the run's
+    UNIQUE prompts (TrainConfig.dedup_prompts). The step's 5th argument then
+    becomes a ``[batch]`` int32 vector of pool indices instead of a
+    ``[batch, context_length]`` token matrix: the text tower encodes the
+    pool once per step (it is a compile-time constant) and the loss gathers
+    per-row features — identical numerics at pool-sized text work. Requires
+    ``cfg.lora_dropout == 0`` (duplicates would share a dropout mask).
 
     ``params`` is a non-differentiated input (frozen backbone); only the
     adapter tree flows through ``value_and_grad``.
@@ -255,22 +276,36 @@ def make_train_step(
     # dtype is bf16 (int8 MACs + bf16 core); plain cfg.dtype otherwise.
     text_dtype = jnp.bfloat16 if text_impl == "block_fused_int8" else cfg.dtype
 
+    if prompt_pool is not None and cfg.lora_dropout > 0.0:
+        raise ValueError(
+            "prompt_pool (dedup_prompts) requires lora_dropout == 0: a "
+            "deduplicated row would share one dropout mask across its "
+            "duplicates, changing the reference per-row-dropout semantics"
+        )
+    pool_tokens = None if prompt_pool is None else jnp.asarray(prompt_pool)
+
     def loss_fn(lora_tree, params, batch_x, tokens, rng=None):
         # batch_x: pixels normally; a precomputed feature slice when
         # cached_image (already normalized/astype by image_features).
+        # tokens: [B, context] token rows normally; [B] pool indices when
+        # prompt_pool is set.
         img = jax.lax.stop_gradient(
             batch_x.astype(cfg.dtype) if cached_image
             else image_features(params, batch_x)
         )
         txt = normalize_features(
             encode_text(
-                params, tokens, config, dtype=text_dtype, attn_impl=text_impl,
+                params,
+                tokens if pool_tokens is None else pool_tokens,
+                config, dtype=text_dtype, attn_impl=text_impl,
                 lora=lora_tree, lora_scaling=scaling,
                 lora_dropout=cfg.lora_dropout if rng is not None else 0.0,
                 lora_rng=rng,
                 remat=text_remat,
             )
         )
+        if pool_tokens is not None:
+            txt = txt[tokens]
         return contrastive_loss(img, txt, params["logit_scale"])
 
     def train_step(params, lora_tree, opt_state, batch_x, tokens, rng):
@@ -305,6 +340,19 @@ class PromptedImageDataset:
             self.items.append((item["image_path"], build_training_prompts(item)))
         self.image_root = image_root
         self._cache: Dict[str, np.ndarray] = {}
+        # Global unique-prompt pool (first-occurrence order) + per-item
+        # prompt->pool-id lists, for TrainConfig.dedup_prompts.
+        pool_index: Dict[str, int] = {}
+        self.prompt_pool: list = []
+        self._item_pool_ids: list = []
+        for _, prompts in self.items:
+            ids = []
+            for p in prompts:
+                if p not in pool_index:
+                    pool_index[p] = len(self.prompt_pool)
+                    self.prompt_pool.append(p)
+                ids.append(pool_index[p])
+            self._item_pool_ids.append(ids)
 
     def __len__(self):
         return len(self.items)
@@ -335,6 +383,16 @@ class PromptedImageDataset:
             prompts = self.items[i][1]
             texts.append(prompts[int(rng.integers(0, len(prompts)))])
         return tokenize_for_model(texts, self.config)
+
+    def batch_prompt_ids(self, indices, rng: np.random.Generator) -> np.ndarray:
+        """Pool index of one random-prompt draw per row — the SAME
+        ``rng.integers(0, len(prompts))`` consumption as ``batch_tokens``,
+        so the dedup path replays the identical prompt sequence."""
+        ids = []
+        for i in indices:
+            ids.append(self._item_pool_ids[i][int(
+                rng.integers(0, len(self.items[i][1])))])
+        return np.asarray(ids, np.int32)
 
     def batch(self, indices, rng: np.random.Generator):
         pixels = np.stack([self.load_pixels(i) for i in indices])
@@ -462,9 +520,21 @@ def train_lora(
     # cached table — same loss trajectory, ~2x step throughput. Host-gathered
     # table, so multi-process runs fall back to per-step recompute.
     use_cache = cfg.cache_image_features and jax.process_count() == 1
+    # Prompt dedup (cfg.dedup_prompts): encode the global unique-prompt pool
+    # once per step and gather rows by index — identical numerics, text-tower
+    # work scales with the pool (P) instead of the batch. Only a win when
+    # P <= batch; requires no dropout (see TrainConfig).
+    pool = ds.prompt_pool
+    use_dedup = (cfg.dedup_prompts and cfg.lora_dropout == 0.0
+                 and 0 < len(pool) <= cfg.batch_size)
+    pool_tokens = tokenize_for_model(pool, config) if use_dedup else None
     train_step, eval_step = make_train_step(
-        config, cfg, optimizer, mesh=mesh, cached_image=use_cache)
+        config, cfg, optimizer, mesh=mesh, cached_image=use_cache,
+        prompt_pool=pool_tokens)
     image_features_fn = train_step.image_features
+    if use_dedup:
+        log(f"prompt dedup: {len(pool)} unique prompts encoded per step "
+            f"(vs {cfg.batch_size} dense rows)")
 
     if mesh is not None:
         from aiic_tpu.parallel.multihost import host_local_batch
@@ -498,12 +568,15 @@ def train_lora(
 
     def make_batch(sl):
         """(image batch, token batch) for the step — cached features or raw
-        pixels; identical rng consumption either way (batch_tokens IS
-        batch's prompt draw)."""
+        pixels; pool indices or token rows. rng consumption is identical on
+        every path (batch_prompt_ids/batch_tokens make the same per-row
+        integers draw batch() does)."""
         rows = local_rows(sl)
+        toks = (ds.batch_prompt_ids(rows, rng) if use_dedup
+                else ds.batch_tokens(rows, rng))
         if use_cache:
-            return feats_table[rows], ds.batch_tokens(rows, rng)
-        return ds.batch(rows, rng)
+            return feats_table[rows], toks
+        return np.stack([ds.load_pixels(int(i)) for i in rows]), toks
 
     def run_epoch_batches(indices):
         # The permutation is seed-identical on every process; each host then

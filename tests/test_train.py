@@ -348,3 +348,50 @@ def test_feature_cache_under_mesh(synth_dataset, tmp_path):
     np.testing.assert_allclose(
         meshed["history"][0]["train_loss"], single["history"][0]["train_loss"],
         rtol=0, atol=2e-5)
+
+
+def test_prompt_dedup_matches_dense(synth_dataset, tmp_path):
+    """dedup_prompts=True (the default) must reproduce the dense trajectory:
+    the text tower is row-independent, so encoding the 8-prompt pool once and
+    gathering by index yields the same txt rows as encoding every duplicate;
+    gradients agree by linearity (summation order may differ -> small atol)."""
+    json_path, root = synth_dataset
+    common = dict(epochs=2, batch_size=8, rank=2, alpha=4, seed=0)
+    dedup = train_lora(
+        json_path, str(tmp_path / "d.pth"), config=TINY_TEST,
+        cfg=TrainConfig(dedup_prompts=True, **common),
+        image_root=root, log=lambda *_: None,
+    )
+    dense = train_lora(
+        json_path, str(tmp_path / "n.pth"), config=TINY_TEST,
+        cfg=TrainConfig(dedup_prompts=False, **common),
+        image_root=root, log=lambda *_: None,
+    )
+    for hd, hn in zip(dedup["history"], dense["history"]):
+        np.testing.assert_allclose(hd["train_loss"], hn["train_loss"], atol=2e-5)
+        np.testing.assert_allclose(hd["val_loss"], hn["val_loss"], atol=2e-5)
+    for kd, kn in zip(jax.tree.leaves(dedup["lora_tree"]),
+                      jax.tree.leaves(dense["lora_tree"])):
+        np.testing.assert_allclose(np.asarray(kd), np.asarray(kn), atol=1e-4)
+
+
+def test_prompt_dedup_gated_off_by_dropout(synth_dataset, tmp_path):
+    """lora_dropout > 0 silently disables dedup (per-row dropout semantics);
+    make_train_step itself refuses an explicit pool + dropout combination."""
+    from aiic_tpu.train import make_train_step
+    from aiic_tpu.train.trainer import make_optimizer
+
+    json_path, root = synth_dataset
+    out = train_lora(
+        json_path, str(tmp_path / "dr.pth"), config=TINY_TEST,
+        cfg=TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4, seed=0,
+                        lora_dropout=0.25),
+        image_root=root, log=lambda *_: None,
+    )
+    assert np.isfinite(out["best_val_loss"])
+
+    cfg = TrainConfig(lora_dropout=0.25)
+    opt = make_optimizer(cfg, steps_per_epoch=1)
+    with pytest.raises(ValueError, match="dropout"):
+        make_train_step(TINY_TEST, cfg, opt,
+                        prompt_pool=np.zeros((4, 77), np.int32))

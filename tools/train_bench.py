@@ -1,15 +1,19 @@
 """LoRA training-step throughput on the real chip (BASELINE config #4).
 
     python tools/train_bench.py [batch] [iters] [int8] [block] [cached]
+                                [dedup[=P]]
 
 ``int8`` quantizes the frozen image tower (serving-numerics adapters);
 ``block`` selects the whole-text-block backward kernel (attn_impl
 block_fused — ~5-22 min first cold Mosaic compile, fastest steady state:
 2681 img/s at batch 1024 with int8); ``cached`` measures the feature-cache
 steady state (TrainConfig.cache_image_features, the train_lora default):
-image features precomputed once, every step text-only. Synthetic batch
-(compute-path benchmark); prints steps/sec and images/sec to stderr and one
-JSON line to stdout.
+image features precomputed once, every step text-only. ``dedup`` (implies
+cached) measures the prompt-dedup steady state — the text tower encodes a
+P-prompt pool (default 64, the reference dataset's scale) instead of the
+dense batch (TrainConfig.dedup_prompts, the train_lora default). Synthetic
+batch (compute-path benchmark); prints steps/sec and images/sec to stderr
+and one JSON line to stdout.
 """
 
 import json
@@ -37,6 +41,11 @@ def main():
     # tower, STE gradients) — implies block_fused.
     quantize_text = "text8" in sys.argv[3:]
     cached = "cached" in sys.argv[3:]
+    pool_size = 0
+    for a in sys.argv[3:]:
+        if a == "dedup" or a.startswith("dedup="):
+            pool_size = int(a.split("=")[1]) if "=" in a else 64
+            cached = True
     impl = ("block_fused" if ("block" in sys.argv[3:] or quantize_text)
             else "auto")
     config = VIT_B_16
@@ -54,10 +63,16 @@ def main():
     lora = init_text_lora(jax.random.PRNGKey(1), config, LoRAConfig(16, 32, tcfg.attach))
     opt = make_optimizer(tcfg, steps_per_epoch=100)
     opt_state = opt.init(lora)
-    train_step, _ = make_train_step(config, tcfg, opt, cached_image=cached)
+    rng = np.random.default_rng(0)
+    prompt_pool = None
+    if pool_size:
+        prompt_pool = rng.integers(1, 49400, (pool_size, 77)).astype(np.int32)
+        prompt_pool[:, 0] = 49406
+        prompt_pool[:, -1] = 49407
+    train_step, _ = make_train_step(config, tcfg, opt, cached_image=cached,
+                                    prompt_pool=prompt_pool)
     jt = jax.jit(train_step, donate_argnums=(1, 2))
 
-    rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32), jnp.bfloat16)
     if cached:
         # The steady state of feature-cache training: the tower ran ONCE up
@@ -70,10 +85,14 @@ def main():
         print(f"feature precompute (once per dataset pass): "
               f"{time.perf_counter()-t0:.1f}s for {batch} images", file=sys.stderr)
         pixels = feats
-    tokens = rng.integers(1, 49400, (batch, 77)).astype(np.int32)
-    tokens[:, 0] = 49406
-    tokens[:, -1] = 49407
-    tokens = jnp.asarray(tokens)
+    if pool_size:
+        tokens = jnp.asarray(
+            rng.integers(0, pool_size, (batch,)).astype(np.int32))
+    else:
+        tokens = rng.integers(1, 49400, (batch, 77)).astype(np.int32)
+        tokens[:, 0] = 49406
+        tokens[:, -1] = 49407
+        tokens = jnp.asarray(tokens)
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
@@ -96,6 +115,8 @@ def main():
     }
     if cached:
         out["cached_features"] = True
+    if pool_size:
+        out["prompt_pool"] = pool_size
     print(json.dumps(out))
 
 

@@ -411,28 +411,40 @@ def precompute_image_features(
     because the tower is frozen and preprocessing is deterministic (the
     reference has no train-time augmentation, train_lora.py:121-161).
 
-    Indices are padded by cycling so every device batch keeps the training
-    batch shape (static shapes for XLA; ('data',)-divisibility under a mesh);
-    duplicate rows just overwrite themselves with identical values."""
+    The tower runs once per unique image PATH (datasets may repeat files —
+    e.g. replicated rows or multi-prompt corpora); rows sharing a path share
+    the computed feature. Unique-path indices are padded by cycling so every
+    device batch keeps the training batch shape (static shapes for XLA;
+    ('data',)-divisibility under a mesh); pad duplicates just overwrite
+    themselves with identical values."""
     import time
 
     jfn = jax.jit(image_features_fn)
     n = len(ds)
-    idx = np.arange(n)
-    pad = (-n) % batch
+    path_to_uid: Dict[str, int] = {}
+    row_uid = np.empty(n, np.int64)
+    uniq_rows = []
+    for i, (path, _) in enumerate(ds.items):
+        if path not in path_to_uid:
+            path_to_uid[path] = len(uniq_rows)
+            uniq_rows.append(i)
+        row_uid[i] = path_to_uid[path]
+    idx = np.arange(len(uniq_rows))
+    pad = (-len(idx)) % batch
     if pad:
         idx = np.concatenate([idx, idx[: pad]])
     t0 = time.perf_counter()
     out = None
     for i in range(0, len(idx), batch):
         sl = idx[i : i + batch]
-        pixels = np.stack([ds.load_pixels(int(j)) for j in sl])
+        pixels = np.stack([ds.load_pixels(uniq_rows[int(j)]) for j in sl])
         f = np.asarray(jfn(params, place_batch(pixels)))
         if out is None:
-            out = np.zeros((n, f.shape[-1]), f.dtype)
+            out = np.zeros((len(uniq_rows), f.shape[-1]), f.dtype)
         out[sl] = f
     precompute_image_features.last_seconds = time.perf_counter() - t0
-    return out
+    precompute_image_features.unique_images = len(uniq_rows)
+    return out[row_uid]
 
 
 def train_lora(
@@ -563,7 +575,8 @@ def train_lora(
         feats_table = precompute_image_features(
             image_features_fn, params, ds, cfg.batch_size, place_batch)
         log(f"cached {len(ds)} image features once "
-            f"({precompute_image_features.last_seconds:.1f}s); "
+            f"({precompute_image_features.unique_images} unique images, "
+            f"{precompute_image_features.last_seconds:.1f}s); "
             "train steps are text-only")
 
     def make_batch(sl):
@@ -598,7 +611,11 @@ def train_lora(
                 place_batch(pixels), place_batch(tokens),
                 jax.random.fold_in(base_key, step_n),
             )
-            train_losses.append(float(loss))
+            # Keep the loss as a device scalar: fetching here would hard-sync
+            # every step (~30 ms relay RTT each on this backend); deferring
+            # the float() to epoch end lets dispatches pipeline.
+            train_losses.append(loss)
+        train_losses = [float(l) for l in train_losses]
         val_losses = []
         # Fixed-size validation batches (cycle-pad small val sets): static
         # shapes for XLA and divisibility for the sharded ('data',) axis.
@@ -613,8 +630,9 @@ def train_lora(
                     sl = vi_padded[: cfg.batch_size]
                 pixels, tokens = make_batch(sl)
                 val_losses.append(
-                    float(eval_step(params, lora_tree, place_batch(pixels), place_batch(tokens)))
+                    eval_step(params, lora_tree, place_batch(pixels), place_batch(tokens))
                 )
+            val_losses = [float(l) for l in val_losses]
         avg_train = float(np.mean(train_losses)) if train_losses else float("nan")
         avg_val = float(np.mean(val_losses)) if val_losses else avg_train
         history.append({"epoch": epoch + 1, "train_loss": avg_train, "val_loss": avg_val})

@@ -395,3 +395,32 @@ def test_prompt_dedup_gated_off_by_dropout(synth_dataset, tmp_path):
     with pytest.raises(ValueError, match="dropout"):
         make_train_step(TINY_TEST, cfg, opt,
                         prompt_pool=np.zeros((4, 77), np.int32))
+
+
+def test_precompute_dedupes_image_paths(synth_dataset):
+    """Datasets that repeat an image file must run the tower once per unique
+    PATH and share the feature row (precompute_image_features.row_uid map)."""
+    from aiic_tpu.data.dataset import load_training_data
+    from aiic_tpu.models.init import init_clip_params
+    from aiic_tpu.train import make_train_step, precompute_image_features
+    from aiic_tpu.train.trainer import PromptedImageDataset, make_optimizer
+
+    json_path, root = synth_dataset
+    data = load_training_data(json_path)
+    rows = [data[i % 4] for i in range(12)]  # 12 rows over 4 unique files
+    ds = PromptedImageDataset(rows, TINY_TEST, image_root=root)
+
+    cfg = TrainConfig(batch_size=4, rank=2, alpha=4)
+    opt = make_optimizer(cfg, steps_per_epoch=1)
+    step, _ = make_train_step(TINY_TEST, cfg, opt)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+
+    table = precompute_image_features(step.image_features, params, ds, 4)
+    assert table.shape[0] == 12
+    assert precompute_image_features.unique_images == 4
+    for i in range(12):
+        np.testing.assert_array_equal(table[i], table[i % 4])
+    # and the shared rows really are the tower's output for that image
+    direct = np.asarray(step.image_features(
+        params, jnp.asarray(np.stack([ds.load_pixels(i) for i in range(4)]))))
+    np.testing.assert_allclose(table[:4], direct, atol=1e-6)

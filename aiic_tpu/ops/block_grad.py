@@ -401,7 +401,11 @@ def text_block_bwd(
     # (weights ~6.3 MB + ~4 MB fp32 intermediates per image). Larger
     # geometries shrink to whatever fits; impossible ones raise (the trainer
     # gates on text_block_fits before selecting this kernel).
-    want = 2 if int(os.environ.get("AIIC_BLOCKBWD_G", "2")) == 2 else 1
+    try:
+        want = int(os.environ.get("AIIC_BLOCKBWD_G", "2"))
+    except ValueError:
+        want = 2
+    want = max(want, 1)  # _pick_group halves it down to what fits / divides
     group = _pick_group(bsz, seq, width, mlp, heads, x.dtype.itemsize, want=want)
 
     out_shapes = (

@@ -244,6 +244,18 @@ def make_train_step(
                          if jax.default_backend() == "tpu"
                          and jax.device_count() == 1 and mesh is None
                          else "xla")
+    if cfg.quantize_text and text_impl != "block_fused_int8":
+        # Fail loudly: the flag exists to train adapters against the int8
+        # serving numerics; silently falling back to bf16 gradients would
+        # ship adapters trained against numerics the deployed int8 engine
+        # never reproduces — the exact mismatch the flag closes.
+        raise ValueError(
+            "quantize_text requires the int8 whole-block text kernel, which "
+            f"was not selected (resolved attn_impl={text_impl!r}). It needs "
+            "attn_impl='block_fused', no mesh, the full reference attach "
+            "set, lora_dropout=0, quick-gelu, and a text tower that fits "
+            "the kernel's VMEM budget (ops/block_grad.text_block_int8_fits)."
+        )
 
     def _image_branch(visual, pixels):
         return normalize_features(
@@ -432,7 +444,9 @@ def precompute_image_features(
     idx = np.arange(len(uniq_rows))
     pad = (-len(idx)) % batch
     if pad:
-        idx = np.concatenate([idx, idx[: pad]])
+        # np.resize cycles — pad can exceed len(idx) when the unique-image
+        # count is below half the batch (e.g. 150 uniques at batch 1024).
+        idx = np.concatenate([idx, np.resize(idx, pad)])
     t0 = time.perf_counter()
     out = None
     for i in range(0, len(idx), batch):

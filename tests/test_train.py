@@ -424,3 +424,20 @@ def test_precompute_dedupes_image_paths(synth_dataset):
     direct = np.asarray(step.image_features(
         params, jnp.asarray(np.stack([ds.load_pixels(i) for i in range(4)]))))
     np.testing.assert_allclose(table[:4], direct, atol=1e-6)
+
+    # pad > unique count (4 uniques at batch 16) must cycle, keeping every
+    # device dispatch at the full batch shape
+    table16 = precompute_image_features(step.image_features, params, ds, 16)
+    np.testing.assert_allclose(table16, table, atol=1e-6)
+
+
+def test_quantize_text_requires_int8_block_kernel():
+    """quantize_text with an attn_impl that cannot select the int8 block
+    kernel must fail loudly instead of silently training bf16 adapters."""
+    from aiic_tpu.train import make_train_step
+    from aiic_tpu.train.trainer import make_optimizer
+
+    cfg = TrainConfig(quantize_text=True, attn_impl="xla")
+    opt = make_optimizer(cfg, steps_per_epoch=1)
+    with pytest.raises(ValueError, match="quantize_text"):
+        make_train_step(TINY_TEST, cfg, opt)

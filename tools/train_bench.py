@@ -31,11 +31,15 @@ def main():
     import jax.numpy as jnp
 
     from aiic_tpu.adapters import LoRAConfig, init_text_lora
-    from aiic_tpu.models import VIT_B_16, init_clip_params
+    from aiic_tpu.models import VIT_B_16, VIT_B_32, VIT_L_14, init_clip_params
     from aiic_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    model = "vit_b_16"
+    for a in sys.argv[3:]:
+        if a.startswith("model="):
+            model = a.split("=")[1]
     quantize = "int8" in sys.argv[3:]
     # "text8": the int8 whole-block TEXT kernel pair (serving-numerics text
     # tower, STE gradients) — implies block_fused.
@@ -48,7 +52,8 @@ def main():
             cached = True
     impl = ("block_fused" if ("block" in sys.argv[3:] or quantize_text)
             else "auto")
-    config = VIT_B_16
+    config = {"vit_b_16": VIT_B_16, "vit_b_32": VIT_B_32,
+              "vit_l_14": VIT_L_14}[model]
     tcfg = TrainConfig(epochs=1, batch_size=batch, rank=16, alpha=32,
                        dtype=jnp.bfloat16, quantize_image=quantize,
                        quantize_text=quantize_text, attn_impl=impl)
@@ -73,7 +78,10 @@ def main():
                                     prompt_pool=prompt_pool)
     jt = jax.jit(train_step, donate_argnums=(1, 2))
 
-    pixels = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)).astype(np.float32), jnp.bfloat16)
+    pixels = jnp.asarray(
+        rng.standard_normal(
+            (batch, config.image_size, config.image_size, 3)
+        ).astype(np.float32), jnp.bfloat16)
     if cached:
         # The steady state of feature-cache training: the tower ran ONCE up
         # front (at serving throughput, see bench.py); each step consumes
@@ -117,6 +125,8 @@ def main():
         out["cached_features"] = True
     if pool_size:
         out["prompt_pool"] = pool_size
+    if model != "vit_b_16":
+        out["model"] = config.name
     print(json.dumps(out))
 
 

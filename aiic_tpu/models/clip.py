@@ -291,14 +291,19 @@ def block(
         and gelu_type == "quick_gelu"
         and x.dtype == jnp.bfloat16
     ):
-        from aiic_tpu.ops.quant import (
-            _VMEM_BUDGET, _block_vmem_bytes, int8_block,
-        )
+        from aiic_tpu.ops.quant import _block_plan, int8_block
 
-        if _fused_env != "1" and _block_vmem_bytes(
-                2, x.shape[1], x.shape[2], p["mlp"]["w1"].shape[-1],
-                x.dtype.itemsize) > _VMEM_BUDGET:
-            int8_block = None  # G=2 does not fit: the kernel pair wins
+        if _fused_env != "1":
+            plan = _block_plan(
+                x.shape[0], x.shape[1], x.shape[2],
+                p["mlp"]["w1"].shape[-1], x.dtype.itemsize)
+            if plan is None or plan[1] < 2 or plan[0] != "full":
+                # No full-weight G>=2 blocking: the kernel pair wins.
+                # Chunked-G2 at B/16 is a MEASURED dead end (5,395 vs 6,049
+                # img/s — the chunk-streamed weight re-fetch outweighs the
+                # saved y1 round trip, docs/PERF_NOTES.md);
+                # AIIC_FUSED_BLOCK=1 forces the plan's best blocking.
+                int8_block = None
 
         if int8_block is not None:
             on_tpu = jax.default_backend() == "tpu"

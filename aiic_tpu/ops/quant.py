@@ -624,6 +624,125 @@ def _block_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
     return resident + max(attn_stage, mlp_stage)
 
 
+def _block_chunk_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
+                            n_chunks: int, itemsize: int) -> int:
+    """Peak-live VMEM for the hidden-axis-chunked fused block kernel: only
+    one (W, M/C)+(M/C, W) MLP weight-chunk pair is resident per grid step
+    (streamed; the attention weights keep constant block indices and stay);
+    the fp32 residual accumulator and quantized LN2 output persist in
+    scratch across the chunk loop. Peak is the c==0 step, which runs the
+    whole attention half."""
+    rows = group * seq
+    chunk = mlp_dim // n_chunks
+    resident = (
+        2 * rows * width * itemsize       # x in + out blocks
+        + 3 * width * width               # int8 wqkv
+        + width * width * itemsize        # bf16 wo
+        + 2 * width * chunk               # int8 MLP weight-chunk pair
+        + rows * width * 4                # fp32 residual/output acc (scratch)
+        + rows * width                    # hq int8 (scratch)
+    )
+    attn_stage = (
+        rows * 3 * width * 4              # int32 QKV accumulator
+        + rows * 3 * width * itemsize     # dequantized qkv
+        + 2 * seq * seq * 4               # mask + one live score matrix
+        + rows * width * 4                # attn concat fp32 / LN2 h transient
+    )
+    chunk_stage = (
+        rows * chunk * 4                  # int32 accumulator / fp32 gelu slab
+        + rows * chunk                    # int8 quantized gelu output
+    )
+    return resident + max(attn_stage, chunk_stage)
+
+
+def _block_plan(bsz: int, seq: int, width: int, mlp_dim: int, itemsize: int):
+    """Blocking decision for the fused whole-block kernel. Group dominates
+    (row-merging across images amortizes the seq->sublane padding on every
+    projection — the reason full-at-G=1 measured BELOW the kernel pair), so
+    the preference order is full-G2 > chunked-G2 > full-G1 > chunked-G1:
+    returns ("full", G, 1), ("chunked", G, C), or None when nothing fits."""
+    for g in (2, 1):
+        if bsz % g:
+            continue
+        if _block_vmem_bytes(g, seq, width, mlp_dim, itemsize) <= _VMEM_BUDGET:
+            return ("full", g, 1)
+        c = 2
+        while mlp_dim % c == 0 and mlp_dim // c >= 128:
+            if _block_chunk_vmem_bytes(g, seq, width, mlp_dim, c,
+                                       itemsize) <= _VMEM_BUDGET:
+                return ("chunked", g, c)
+            c *= 2
+    return None
+
+
+def _int8_block_chunk_kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    mask_ref, ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+    b2_ref, o_ref, acc_ref, hq_ref, hs_ref,
+    *, heads: int, dim: int, scale: float, eps: float, n_chunks: int,
+):
+    """Whole transformer block with the MLP hidden axis chunked: grid
+    (batch groups, chunks). Chunk 0 runs the full attention half (shared
+    line-for-line with the attn kernel via ``_int8_attn_group``), casts its
+    output to the block dtype (the kernel-pair boundary cast), then LN2 +
+    row-quant into persistent scratch; every chunk step accumulates its
+    c_proj partial into the fp32 scratch that already carries the attention
+    output as the residual. Activation quantization for the second matmul
+    is per (row, chunk) — the chunked-MLP kernel's numerics, mirrored by
+    ``_int8_mlp_rows(n_chunks=C)``.
+
+    This is how ViT-B/16 keeps the fused block at G=2: the full fused
+    working set (~17.3 MB) exceeds VMEM, but streaming the MLP weight pair
+    in C=4 chunks brings the c==0 peak to ~13.8 MB while keeping the G=2
+    row-merge the full kernel had to give up (the measured reason fused
+    lost to the pair at this geometry)."""
+    width = heads * dim
+    group, seq, _ = x_ref.shape
+    rows = group * seq
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _first():
+        mask = mask_ref[:] * jnp.float32(LOG2E)
+        x = x_ref[:].reshape(rows, width)
+        y1 = _int8_attn_group(
+            x, ln1s_ref[:], ln1b_ref[:], wqkv_ref[:], sqkv_ref[:],
+            bqkv_ref[:], wo_ref[:], bo_ref[:], mask,
+            group=group, seq=seq, heads=heads, dim=dim, eps=eps, scale=scale,
+        )  # block dtype — exactly the kernel-pair boundary cast
+        y1f = y1.astype(jnp.float32)
+        mean = jnp.mean(y1f, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y1f - mean), axis=-1, keepdims=True)
+        h = (y1f - mean) * jax.lax.rsqrt(var + eps)
+        h = h * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(jnp.float32)
+        hq, hscale = _row_quant(h)
+        hq_ref[:] = hq
+        hs_ref[:] = hscale
+        acc_ref[:] = y1f  # residual seeds the output accumulator
+
+    acc = jax.lax.dot_general(
+        hq_ref[:], w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    y = acc.astype(jnp.float32) * hs_ref[:] * s1_ref[:] + b1_ref[:].astype(jnp.float32)
+    y = _gelu_exp2(y)
+    yq, yscale = _row_quant(y)
+    acc2 = jax.lax.dot_general(
+        yq, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    acc_ref[:] += acc2.astype(jnp.float32) * yscale * s2_ref[:]
+
+    @pl.when(c == n_chunks - 1)
+    def _last():
+        out = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        o_ref[:] = out.reshape(group, seq, width).astype(o_ref.dtype)
+
+
 def int8_block(
     x: jnp.ndarray,
     ln1_scale: jnp.ndarray,
@@ -650,32 +769,28 @@ def int8_block(
     """(B, S, W) -> (B, S, W): one whole int8 transformer block per program.
 
     Returns ``None`` when the geometry's working set exceeds the VMEM
-    budget even at G=1 (e.g. ViT-L/14) — the caller falls back to the
-    attn/MLP kernel pair, which blocks the two halves separately.
+    budget in every blocking (e.g. ViT-L/14, whose resident attention
+    weights alone crowd out the chunked form) — the caller falls back to
+    the attn/MLP kernel pair, which blocks the two halves separately.
 
-    MEASURED DEAD END as the ViT-B/16 serving default (bench.py B=512:
-    5588 vs 6009 img/s for the pair): the fused working set forces G=1,
-    losing the pair's G=2 row-merge that amortizes 197->224 sublane
-    padding (12% dead MACs on every projection); the saved per-layer HBM
-    round trip of the y1 intermediate (~0.4 ms/layer at B=512) doesn't
-    cover the padding tax. Kept opt-in (models.clip: AIIC_FUSED_BLOCK=1)
-    for geometries where G>=2 fits the fused budget.
+    Blocking is chosen by ``_block_plan``: the full weight-resident kernel
+    at the largest image group that fits, else the hidden-axis-CHUNKED
+    variant (``_int8_block_chunk_kernel``) that streams the MLP weight pair
+    so the group survives. Full-at-G=1 is a MEASURED DEAD END at ViT-B/16
+    (bench.py B=512: 5588 vs 6009 img/s for the pair — the 197->224
+    sublane-padding tax of ungrouped projections outweighs the saved y1
+    HBM round trip), which is why the plan prefers chunked-G2 over
+    full-G1.
     """
     bsz, seq, width = x.shape
     dim = width // heads
     scale = dim ** -0.5
     mlp_dim = w1_q.shape[-1]
 
-    group = 2 if x.dtype.itemsize <= 2 else 1
-    while bsz % group != 0:
-        group //= 2
-    group = max(group, 1)
-    while group > 1 and _block_vmem_bytes(group, seq, width, mlp_dim,
-                                          x.dtype.itemsize) > _VMEM_BUDGET:
-        group //= 2
-    if _block_vmem_bytes(group, seq, width, mlp_dim,
-                         x.dtype.itemsize) > _VMEM_BUDGET:
+    plan = _block_plan(bsz, seq, width, mlp_dim, x.dtype.itemsize)
+    if plan is None:
         return None
+    mode, group, n_chunks = plan
 
     ln1_scale = ln1_scale.reshape(1, width)
     ln1_bias = ln1_bias.reshape(1, width)
@@ -691,6 +806,56 @@ def int8_block(
     b2 = b2.reshape(1, width)
     full_mask = (jnp.zeros((seq, seq), jnp.float32) if mask is None
                  else mask.astype(jnp.float32))
+
+    if mode == "chunked":
+        chunk = mlp_dim // n_chunks
+        rows = group * seq
+        fixed = lambda shape: pl.BlockSpec(
+            shape, lambda b, c: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(
+                _int8_block_chunk_kernel, heads=heads, dim=dim, scale=scale,
+                eps=eps, n_chunks=n_chunks,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+            grid=(bsz // group, n_chunks),
+            in_specs=[
+                pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                fixed((1, width)), fixed((1, width)),
+                fixed((width, 3 * width)), fixed((1, 3 * width)),
+                fixed((1, 3 * width)),
+                fixed((width, width)), fixed((1, width)),
+                fixed((seq, seq)),
+                fixed((1, width)), fixed((1, width)),
+                pl.BlockSpec((width, chunk), lambda b, c: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk), lambda b, c: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk), lambda b, c: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, width), lambda b, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                fixed((1, width)), fixed((1, width)),
+            ],
+            out_specs=pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((rows, width), jnp.float32),  # residual/output acc
+                pltpu.VMEM((rows, width), jnp.int8),     # quantized LN2 output
+                pltpu.VMEM((rows, 1), jnp.float32),      # per-row LN2 scales
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bsz * seq * width * (4 * width + 2 * mlp_dim)
+                + 4 * bsz * heads * seq * seq * dim,
+                bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+                + 4 * width * width + 2 * width * mlp_dim,
+                transcendentals=bsz * (heads * seq * seq + seq * mlp_dim),
+            ),
+            interpret=interpret,
+        )(x, ln1_scale, ln1_bias, wqkv_q, sqkv, bqkv, wo, bo, full_mask,
+          ln2_scale, ln2_bias, w1_q, s1, b1, w2_q, s2, b2)
 
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)

@@ -552,15 +552,20 @@ def test_attention_bwd_kernel_text_geometry_causal():
 
 def test_int8_fused_block_bit_identical_to_kernel_pair():
     """The whole-block int8 kernel (ops/quant.int8_block) vs the
-    attn-kernel + MLP-kernel pair at ViT-B/16 geometry: the fused program
-    casts the attention output to the block dtype in-kernel — exactly what
-    the kernel boundary did — so the composition must match bit for bit."""
+    attn-kernel + MLP-kernel pair at ViT-B/32 geometry (S=50 — where the
+    FULL fused blocking is what production auto-selects; B/16 now plans to
+    the chunked variant, covered by its own bit-identity test): the fused
+    program casts the attention output to the block dtype in-kernel —
+    exactly what the kernel boundary did — so the composition must match
+    bit for bit."""
     from aiic_tpu.ops.quant import (
-        int8_block, int8_ln_mlp, int8_ln_qkv_attention, quantize_weight,
+        _block_plan, int8_block, int8_ln_mlp, int8_ln_qkv_attention,
+        quantize_weight,
     )
 
     rng = np.random.default_rng(31)
-    b, s, w, heads, m = 2, 197, 768, 12, 3072
+    b, s, w, heads, m = 2, 50, 768, 12, 3072
+    assert _block_plan(b, s, w, m, 2) == ("full", 2, 1)
     x = jnp.asarray((rng.standard_normal((b, s, w)) * 0.3).astype(np.float32),
                     jnp.bfloat16)
     ln1_s = jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32))
@@ -594,9 +599,12 @@ def test_int8_fused_block_bit_identical_to_kernel_pair():
 
 
 def test_int8_fused_block_large_geometry_falls_back():
-    """ViT-L/14 geometry (W=1024, M=4096, S=257) exceeds the fused-block
-    VMEM budget even at G=1 — int8_block returns None and clip.block keeps
-    running the kernel pair (whose own guards handle the geometry)."""
+    """ViT-H/14-scale geometry (W=1280, M=5120, S=257) exceeds the
+    fused-block VMEM budget in EVERY blocking (full and chunked — the
+    resident attention weights alone crowd out the MLP stream) — int8_block
+    returns None and clip.block keeps running the kernel pair (whose own
+    guards handle the geometry). ViT-L/14's FULL form also exceeds budget
+    at G=1, but its chunked form fits (covered by the plan test)."""
     from aiic_tpu.ops.quant import _VMEM_BUDGET, _block_vmem_bytes, int8_block
 
     assert _block_vmem_bytes(1, 257, 1024, 4096, 2) > _VMEM_BUDGET
@@ -605,7 +613,7 @@ def test_int8_fused_block_large_geometry_falls_back():
     assert _block_vmem_bytes(2, 197, 768, 3072, 2) > _VMEM_BUDGET
 
     rng = np.random.default_rng(0)
-    b, s, w, heads, m = 1, 257, 1024, 16, 4096
+    b, s, w, heads, m = 1, 257, 1280, 16, 5120
     x = jnp.asarray((rng.standard_normal((b, s, w)) * 0.1).astype(np.float32),
                     jnp.bfloat16)
     zeros = lambda *shape: jnp.zeros(shape, jnp.float32)
@@ -685,3 +693,82 @@ def test_fused_block_auto_selection_rule():
     assert _block_vmem_bytes(2, 197, 768, 3072, 2) > _VMEM_BUDGET
     # B/32 (S=50): G=2 fits -> fused auto-engages
     assert _block_vmem_bytes(2, 50, 768, 3072, 2) <= _VMEM_BUDGET
+
+
+def test_fused_block_plan_selections():
+    """_block_plan's preference order (group dominates, then weight
+    residency): B/32 full-G2; B/16 chunked-G2 (full only fits at G=1, the
+    measured dead end); L/14 nothing (resident attention weights crowd out
+    even the chunked form)."""
+    from aiic_tpu.ops.quant import _block_plan
+
+    assert _block_plan(1024, 50, 768, 3072, 2) == ("full", 2, 1)
+    mode, g, c = _block_plan(1024, 197, 768, 3072, 2)
+    assert (mode, g) == ("chunked", 2) and c >= 2
+    # L/14: G=1 only (the G=2 chunked form exceeds budget), heavy chunking
+    mode, g, c = _block_plan(512, 257, 1024, 4096, 2)
+    assert (mode, g) == ("chunked", 1) and c >= 8
+    # ViT-H/14-scale geometry: resident attention weights alone crowd out
+    # even the chunked form -> the kernel pair keeps the geometry
+    assert _block_plan(256, 257, 1280, 5120, 2) is None
+    # odd batch cannot group: full-G1 fits at B/16
+    assert _block_plan(3, 197, 768, 3072, 2) == ("full", 1, 1)
+
+
+def test_int8_chunked_fused_block_matches_reference():
+    """The hidden-axis-chunked fused block at ViT-B/16 geometry (the G=2
+    blocking the full fused kernel cannot reach) vs the attention kernel +
+    chunked-MLP reference composition (_int8_mlp_rows(n_chunks=C) mirrors
+    the chunk kernel's per-(row, chunk) quantization and fp32 summation
+    order). Unlike the full-block test the two sides here are DIFFERENT
+    compiled programs (grid-step accumulation vs a Python chunk loop), so
+    per-program FMA contraction flips ~0.1% of round() decisions by one
+    int8 level (same bound as the chunked-MLP kernel's own test); a real
+    logic error (wrong chunk, stale scratch, group mixup) blows past the
+    one-quant-level bound and still fails."""
+    from aiic_tpu.ops.quant import (
+        _block_plan, _int8_mlp_rows, int8_block, int8_ln_qkv_attention,
+        quantize_weight,
+    )
+
+    rng = np.random.default_rng(47)
+    b, s, w, heads, m = 2, 197, 768, 12, 3072
+    x = jnp.asarray((rng.standard_normal((b, s, w)) * 0.3).astype(np.float32),
+                    jnp.bfloat16)
+    ln1_s = jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln1_b = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln2_s = jnp.asarray((1 + 0.1 * rng.standard_normal(w)).astype(np.float32))
+    ln2_b = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.03).astype(np.float32))
+    bqkv = jnp.asarray((0.1 * rng.standard_normal(3 * w)).astype(np.float32))
+    wo = jnp.asarray((rng.standard_normal((w, w)) * 0.03).astype(np.float32))
+    bo = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((w, m)) * 0.03).astype(np.float32))
+    b1 = jnp.asarray((0.1 * rng.standard_normal(m)).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((m, w)) * 0.03).astype(np.float32))
+    b2 = jnp.asarray((0.1 * rng.standard_normal(w)).astype(np.float32))
+    wqkv_q, sqkv = quantize_weight(wqkv)
+    w1_q, s1 = quantize_weight(w1)
+    w2_q, s2 = quantize_weight(w2)
+
+    plan = _block_plan(b, s, w, m, x.dtype.itemsize)
+    assert plan is not None and plan[0] == "chunked" and plan[1] == 2
+    n_chunks = plan[2]
+
+    y1 = int8_ln_qkv_attention(
+        x, ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wo, bo, None,
+        heads=heads, interpret=True)
+    want = _int8_mlp_rows(
+        y1.reshape(b * s, w), ln2_s.reshape(1, w), ln2_b.reshape(1, w),
+        w1_q, s1.reshape(1, m), b1.reshape(1, m),
+        w2_q, s2.reshape(1, w), b2.reshape(1, w),
+        1e-5, n_chunks=n_chunks).reshape(b, s, w)
+    fused = int8_block(
+        x, ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wo, bo, None,
+        ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2,
+        heads=heads, interpret=True)
+    assert fused is not None
+
+    diff = np.abs(np.asarray(fused, np.float32) - np.asarray(want, np.float32))
+    assert diff.max() < 1e-2, diff.max()            # <= one quant level
+    assert (diff > 1e-5).mean() < 0.01, (diff > 1e-5).mean()  # >99% exact

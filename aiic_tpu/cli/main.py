@@ -29,6 +29,7 @@ def analyze_images_from_csv(
     dtype: str = "float32",
     quantize: bool = False,
     out_path: str | None = None,
+    fast_decode: bool = False,
     log=print,
 ):
     import jax.numpy as jnp
@@ -58,6 +59,7 @@ def analyze_images_from_csv(
         batch_size=batch_size,
         filter_interiors=filter_interiors,
         confidence_threshold=confidence_threshold,
+        fast_decode=fast_decode,
     )
 
     out = {}
@@ -110,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 serving config (requires --dtype bfloat16): "
                         "int8 MLP + QKV-projection weights, parity-gated at "
                         ">=0.999 cosine vs the fp32 oracle")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="DCT-scaled JPEG decode on the local-file streaming "
+                        "path (up to 64x fewer pixels through IDCT+resize on "
+                        "large sources; quality-approximate, not bit-exact "
+                        "PIL preprocessing)")
     p.add_argument("--output", type=str, help="output JSON path")
     return p
 
@@ -136,6 +143,7 @@ def main(argv=None):
         dtype=args.dtype,
         quantize=args.quantize,
         out_path=args.output,
+        fast_decode=args.fast_decode,
     )
     return 0
 

@@ -56,6 +56,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
+        try:  # stale .so without the fast-decode export
+            lib.aiic_preprocess_jpeg_batch_v2.restype = None
+            lib.aiic_preprocess_jpeg_batch_v2.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ]
+        except AttributeError:
+            pass
         try:
             lib.aiic_jpeg_dims.restype = ctypes.c_int
             lib.aiic_jpeg_dims.argtypes = [
@@ -82,12 +91,20 @@ def preprocess_jpeg_batch(
     jpeg_blobs: Sequence[bytes],
     size: int = 224,
     num_threads: int = 0,
+    fast: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """JPEG bytes -> (uint8 pixels (N, size, size, 3), ok mask (N,)).
 
     Failed decodes leave zero pixels with ok=False (the caller applies the
     reference's load-error result schema).
-    """
+
+    ``fast=True`` decodes at the smallest sufficient M/8 DCT scale before
+    the bicubic (libjpeg scaled decode; the PIL fallback uses ``draft``),
+    cutting IDCT + resize work up to ~64x on large sources. The output is a
+    high-quality approximation of the exact PIL-from-full-res pixels, NOT
+    bit-identical — opt-in for decode-bound deployments; the resize target
+    geometry (torchvision truncation rule) is still computed from the full
+    source dimensions."""
     lib = _build_and_load()
     n = len(jpeg_blobs)
     out = np.zeros((n, size, size, 3), dtype=np.uint8)
@@ -96,22 +113,27 @@ def preprocess_jpeg_batch(
     if lib is None:
         # Python fallback
         from aiic_tpu.data.images import decode_image_bytes
-        from aiic_tpu.data.preprocess import preprocess_numpy
+        from aiic_tpu.data.preprocess import (
+            center_crop_bounds,
+            resize_bicubic_numpy,
+            resize_target,
+        )
 
         ok = np.zeros((n,), bool)
         for i, blob in enumerate(jpeg_blobs):
-            arr = decode_image_bytes(blob)
+            full_dims = None
+            arr = None
+            if fast:
+                arr, full_dims = _decode_draft(blob, size)
+            if arr is None:
+                arr = decode_image_bytes(blob)
             if arr is None:
                 continue
-            # fall back returns normalized floats; requantize to uint8 crop
-            from aiic_tpu.data.preprocess import (
-                center_crop_bounds,
-                resize_bicubic_numpy,
-                resize_target,
-            )
-
-            h, w = arr.shape[:2]
-            nw, nh = resize_target(w, h, size)
+            if full_dims is None:
+                full_dims = (arr.shape[1], arr.shape[0])
+            # resize target from the FULL geometry (parity rule), bicubic
+            # from whatever geometry the (possibly draft-scaled) decode gave
+            nw, nh = resize_target(full_dims[0], full_dims[1], size)
             res = resize_bicubic_numpy(arr, nw, nh)
             top, left = center_crop_bounds(nw, nh, size)
             out[i] = res[max(top, 0): max(top, 0) + size,
@@ -123,13 +145,38 @@ def preprocess_jpeg_batch(
     ptrs = (ctypes.c_char_p * n)(*[b.ctypes.data_as(ctypes.c_char_p) for b in bufs])
     lens = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_blobs])
     status = (ctypes.c_int * n)()
-    lib.aiic_preprocess_jpeg_batch(
-        ptrs, lens, n, size,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        status, num_threads,
-    )
+    outp = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if hasattr(lib, "aiic_preprocess_jpeg_batch_v2"):
+        lib.aiic_preprocess_jpeg_batch_v2(
+            ptrs, lens, n, size, outp, status, num_threads, int(bool(fast)))
+    else:  # stale .so: exact path only
+        lib.aiic_preprocess_jpeg_batch(
+            ptrs, lens, n, size, outp, status, num_threads)
     ok = np.asarray(list(status)) == 0
     return out, ok
+
+
+def _decode_draft(blob: bytes, size: int):
+    """PIL fast-decode fallback: JPEG draft mode = the same DCT-domain M/8
+    scaled decode libjpeg does natively. Returns (uint8 array at the draft
+    geometry, (full_w, full_h)) or (None, None)."""
+    import io
+
+    try:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(blob))
+        full = img.size
+        # draft() picks the smallest mode >= the request; ask for the
+        # resize-target box computed from the full geometry
+        from aiic_tpu.data.preprocess import resize_target
+
+        nw, nh = resize_target(full[0], full[1], size)
+        img.draft("RGB", (nw, nh))
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return arr, full
+    except Exception:
+        return None, None
 
 
 def decode_jpeg_raw(blob: bytes) -> Optional[np.ndarray]:
@@ -163,7 +210,8 @@ def decode_jpeg_raw(blob: bytes) -> Optional[np.ndarray]:
 
 
 def preprocess_jpeg_files(
-    paths: Sequence[str], size: int = 224, num_threads: int = 0
+    paths: Sequence[str], size: int = 224, num_threads: int = 0,
+    fast: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     blobs: List[bytes] = []
     for p in paths:
@@ -172,4 +220,5 @@ def preprocess_jpeg_files(
                 blobs.append(f.read())
         except OSError:
             blobs.append(b"")
-    return preprocess_jpeg_batch(blobs, size=size, num_threads=num_threads)
+    return preprocess_jpeg_batch(blobs, size=size, num_threads=num_threads,
+                                 fast=fast)

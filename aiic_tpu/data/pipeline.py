@@ -27,12 +27,16 @@ class PrefetchingLoader:
         size: int = 224,
         depth: int = 2,
         num_threads: int = 0,
+        fast: bool = False,
     ):
         self.paths = list(paths)
         self.batch_size = batch_size
         self.size = size
         self.depth = depth
         self.num_threads = num_threads
+        # DCT-scaled decode (native_loader.preprocess_jpeg_batch fast=True):
+        # quality-approximate, for decode-bound deployments
+        self.fast = fast
 
     def __len__(self):
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -49,7 +53,8 @@ class PrefetchingLoader:
                 for start in range(0, len(self.paths), self.batch_size):
                     chunk = self.paths[start : start + self.batch_size]
                     pixels, ok = preprocess_jpeg_files(
-                        chunk, self.size, num_threads=self.num_threads
+                        chunk, self.size, num_threads=self.num_threads,
+                        fast=self.fast,
                     )
                     q.put((pixels, ok, (start, start + len(chunk))))
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer

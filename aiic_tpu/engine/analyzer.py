@@ -433,6 +433,7 @@ class InteriorAnalyzer:
         confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
         max_workers: int = 8,
         device_resize: bool = False,
+        fast_decode: bool = False,
     ) -> Dict[str, Dict[str, Any]]:
         """Batch pipeline with the reference's result contract
         (main.py:371-469): every input path maps to a result dict.
@@ -441,7 +442,12 @@ class InteriorAnalyzer:
         device as matmuls (local JPEGs only, grouped by source geometry —
         see _analyze_device_resize for the trade-offs). Not supported under
         a mesh (the per-geometry resize programs are single-device); a
-        mesh-backed analyzer warns and uses the host-resize streaming path."""
+        mesh-backed analyzer warns and uses the host-resize streaming path.
+        ``fast_decode``: DCT-scaled JPEG decode on the streaming path (up to
+        64x fewer pixels through IDCT+resize on large sources) — a
+        quality-approximate opt-in for decode-bound hosts, NOT bit-exact
+        PIL preprocessing; ignored by the device_resize path (which needs
+        the full source geometry on device)."""
         if device_resize and self.mesh is not None:
             import warnings
 
@@ -483,7 +489,8 @@ class InteriorAnalyzer:
 
             cap = batch_size or self.max_batch
             loader = PrefetchingLoader(
-                list(image_paths), batch_size=cap, size=self.config.image_size
+                list(image_paths), batch_size=cap, size=self.config.image_size,
+                fast=fast_decode,
             )
             pending: List[tuple] = []
             it = iter(loader)

@@ -46,9 +46,34 @@ void ErrorExit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// torchvision Resize(shorter side) + CenterCrop geometry. The long side is
+// int(size * long / short) — truncation, matching torchvision's
+// _compute_resized_output_size (NOT rounding; 640x480 -> 298x224).
+// (Declared ahead of DecodeJpeg: the DCT-scale pick needs the resize
+// target to guarantee downscale-only bicubic after a scaled decode.)
+void TargetSize(int w, int h, int size, int* nw, int* nh) {
+  if (w <= h) {
+    *nw = size;
+    *nh = std::max(size, static_cast<int>(static_cast<double>(size) * h / w));
+  } else {
+    *nh = size;
+    *nw = std::max(size, static_cast<int>(static_cast<double>(size) * w / h));
+  }
+}
+
 // Decode JPEG bytes to RGB8. Returns empty vector on failure.
+//
+// target_size > 0 enables the DCT-scaled FAST path: libjpeg decodes
+// directly at the smallest M/8 scale (M=1..8) whose output still covers
+// the torchvision resize target computed from the FULL geometry, so the
+// bicubic that follows is always a downscale. DCT scaling skips most of
+// the IDCT + color conversion work AND shrinks the resize input by up to
+// 64x; the output is a high-quality low-pass approximation, NOT the
+// bit-exact PIL-from-full-res pixels (callers gate it behind an explicit
+// fast=1). full_w/full_h always report the source geometry.
 bool DecodeJpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                int* width, int* height) {
+                int* width, int* height, int* full_w = nullptr,
+                int* full_h = nullptr, int target_size = 0) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -64,6 +89,24 @@ bool DecodeJpeg(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  const int fw = static_cast<int>(cinfo.image_width);
+  const int fh = static_cast<int>(cinfo.image_height);
+  if (full_w != nullptr) *full_w = fw;
+  if (full_h != nullptr) *full_h = fh;
+  if (target_size > 0 && fw > 0 && fh > 0) {
+    int nw = 0, nh = 0;
+    TargetSize(fw, fh, target_size, &nw, &nh);
+    for (int num = 1; num <= 8; ++num) {
+      // libjpeg output dims at num/8 are ceil(dim * num / 8)
+      const long sw = (static_cast<long>(fw) * num + 7) / 8;
+      const long sh = (static_cast<long>(fh) * num + 7) / 8;
+      if (sw >= nw && sh >= nh) {
+        cinfo.scale_num = static_cast<unsigned>(num);
+        cinfo.scale_denom = 8;
+        break;
+      }
+    }
+  }
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
@@ -173,26 +216,20 @@ std::vector<uint8_t> ResizeBicubic(const uint8_t* img, int w, int h,
   return out;
 }
 
-// torchvision Resize(shorter side) + CenterCrop geometry. The long side is
-// int(size * long / short) — truncation, matching torchvision's
-// _compute_resized_output_size (NOT rounding; 640x480 -> 298x224).
-void TargetSize(int w, int h, int size, int* nw, int* nh) {
-  if (w <= h) {
-    *nw = size;
-    *nh = std::max(size, static_cast<int>(static_cast<double>(size) * h / w));
-  } else {
-    *nh = size;
-    *nw = std::max(size, static_cast<int>(static_cast<double>(size) * w / h));
-  }
-}
-
 // Full single-image pipeline: decode + resize + center-crop to uint8 HWC.
-int PreprocessOne(const uint8_t* jpeg, size_t len, int size, uint8_t* out) {
+// fast != 0 uses the DCT-scaled decode (see DecodeJpeg): the resize target
+// is still computed from the FULL source geometry (parity geometry), but
+// the bicubic input is the scaled decode — up to 64x fewer pixels.
+int PreprocessOne(const uint8_t* jpeg, size_t len, int size, uint8_t* out,
+                  int fast = 0) {
   std::vector<uint8_t> rgb;
-  int w = 0, h = 0;
-  if (!DecodeJpeg(jpeg, len, &rgb, &w, &h) || w <= 0 || h <= 0) return 1;
+  int w = 0, h = 0, fw = 0, fh = 0;
+  if (!DecodeJpeg(jpeg, len, &rgb, &w, &h, &fw, &fh, fast ? size : 0) ||
+      w <= 0 || h <= 0) {
+    return 1;
+  }
   int nw, nh;
-  TargetSize(w, h, size, &nw, &nh);
+  TargetSize(fw, fh, size, &nw, &nh);
   std::vector<uint8_t> resized = ResizeBicubic(rgb.data(), w, h, nw, nh);
   const int top = static_cast<int>(std::lround((nh - size) / 2.0));
   const int left = static_cast<int>(std::lround((nw - size) / 2.0));
@@ -214,11 +251,13 @@ int aiic_preprocess_jpeg(const uint8_t* jpeg, size_t len, int size, uint8_t* out
   return PreprocessOne(jpeg, len, size, out);
 }
 
-// Batched, threaded variant. jpegs: array of n pointers; lens: n lengths;
-// out: n * size*size*3 contiguous; status: n result codes (0 ok).
-void aiic_preprocess_jpeg_batch(const uint8_t** jpegs, const size_t* lens,
-                                int n, int size, uint8_t* out, int* status,
-                                int num_threads) {
+// Batched, threaded variant with a fast-decode switch. jpegs: array of n
+// pointers; lens: n lengths; out: n * size*size*3 contiguous; status: n
+// result codes (0 ok). fast != 0 decodes at the smallest sufficient M/8
+// DCT scale (quality-approximate; see DecodeJpeg).
+void aiic_preprocess_jpeg_batch_v2(const uint8_t** jpegs, const size_t* lens,
+                                   int n, int size, uint8_t* out, int* status,
+                                   int num_threads, int fast) {
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (num_threads <= 0) num_threads = 4;
@@ -230,13 +269,21 @@ void aiic_preprocess_jpeg_batch(const uint8_t** jpegs, const size_t* lens,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      status[i] = PreprocessOne(jpegs[i], lens[i], size, out + stride * i);
+      status[i] = PreprocessOne(jpegs[i], lens[i], size, out + stride * i, fast);
     }
   };
   std::vector<std::thread> pool;
   pool.reserve(num_threads);
   for (int t = 0; t < num_threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
+}
+
+// Backwards-compatible exact-path entry (pre-v2 signature).
+void aiic_preprocess_jpeg_batch(const uint8_t** jpegs, const size_t* lens,
+                                int n, int size, uint8_t* out, int* status,
+                                int num_threads) {
+  aiic_preprocess_jpeg_batch_v2(jpegs, lens, n, size, out, status,
+                                num_threads, 0);
 }
 
 // Header-only dimension probe (no pixel decode — cheap size query so the

@@ -32,6 +32,76 @@ def test_native_matches_pil_within_one_level(ref_root):
         assert diff.max() <= level + 0.01, (p, diff.max())
 
 
+def _synth_jpeg(w, h, quality=90):
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    img = Image.fromarray(base).resize((w, h), Image.BILINEAR)
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_fast_decode_identical_when_no_scaling_applies():
+    """A source already at the crop size leaves the DCT scale at 1/1 — the
+    fast path must then be BIT-identical to the exact path (same decode,
+    same bicubic)."""
+    blob = _synth_jpeg(224, 224)
+    exact, ok1 = preprocess_jpeg_batch([blob], 224, fast=False)
+    fast, ok2 = preprocess_jpeg_batch([blob], 224, fast=True)
+    assert ok1.all() and ok2.all()
+    np.testing.assert_array_equal(exact, fast)
+
+
+def test_fast_decode_close_on_large_sources():
+    """DCT-scaled decode on large sources: same geometry contract (the
+    resize target comes from the FULL dims), small pixel deviation (the
+    scaled decode is a proper low-pass resample; measured ~1-2 uint8 levels
+    mean on real photos)."""
+    for w, h in [(2592, 1944), (640, 480), (480, 640)]:
+        blob = _synth_jpeg(w, h)
+        exact, ok1 = preprocess_jpeg_batch([blob], 224, fast=False)
+        fast, ok2 = preprocess_jpeg_batch([blob], 224, fast=True)
+        assert ok1.all() and ok2.all(), (w, h)
+        d = np.abs(exact.astype(np.int16) - fast.astype(np.int16))
+        assert d.mean() < 3.0, (w, h, d.mean())
+        assert d.max() < 48, (w, h, d.max())
+
+
+def test_fast_decode_real_images_quality(ref_root):
+    """Fast vs exact preprocessing over real reference photos: mean
+    deviation stays within a couple of uint8 levels — the regime where the
+    serving parity gates (which tolerate int8 quantization of the whole
+    backbone) are insensitive."""
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:12]
+    exact, ok1 = preprocess_jpeg_files(paths, 224)
+    fast, ok2 = preprocess_jpeg_files(paths, 224, fast=True)
+    assert ok1.all() and ok2.all()
+    d = np.abs(exact.astype(np.int16) - fast.astype(np.int16))
+    assert d.mean() < 3.0, d.mean()
+
+
+def test_fast_decode_python_fallback_draft(ref_root, monkeypatch):
+    """With the native library unavailable, fast=True rides PIL's draft
+    mode (the same DCT-domain scaled decode) and keeps the geometry
+    contract."""
+    from aiic_tpu.data import native_loader
+
+    monkeypatch.setattr(native_loader, "_build_and_load", lambda: None)
+    path = f"{ref_root}/dataset_images/interior1.jpg"
+    with open(path, "rb") as f:
+        blob = f.read()
+    exact, ok1 = native_loader.preprocess_jpeg_batch([blob], 224, fast=False)
+    fast, ok2 = native_loader.preprocess_jpeg_batch([blob], 224, fast=True)
+    assert ok1.all() and ok2.all()
+    assert fast.shape == (1, 224, 224, 3)
+    d = np.abs(exact.astype(np.int16) - fast.astype(np.int16))
+    assert d.mean() < 4.0, d.mean()
+
+
 def test_native_bad_inputs():
     pix, ok = preprocess_jpeg_batch([b"", b"not a jpeg", b"\xff\xd8\xff garbage"])
     assert not ok.any()
@@ -98,11 +168,11 @@ def test_prefetching_loader_propagates_producer_errors(ref_root, monkeypatch):
     calls = {"n": 0}
     real = native_loader.preprocess_jpeg_files
 
-    def flaky(chunk, size, num_threads=0):
+    def flaky(chunk, size, num_threads=0, fast=False):
         calls["n"] += 1
         if calls["n"] == 2:
             raise MemoryError("simulated decode-pool failure")
-        return real(chunk, size, num_threads=num_threads)
+        return real(chunk, size, num_threads=num_threads, fast=fast)
 
     monkeypatch.setattr(native_loader, "preprocess_jpeg_files", flaky)
     loader = PrefetchingLoader(paths, batch_size=4, size=224, depth=2)

@@ -12,6 +12,8 @@ mode:
                      device matmuls) over the dominant fixed geometry
                      (256x256: 75/150 reference images), the bucketable-
                      geometry case device resize is built for
+  fast             — the streaming path with fast_decode=True (DCT-scaled
+                     decode; quality-approximate) over all 150 JPEGs
 
 Reports per-stage wall time from the engine's StageTimer: decode_stall is
 the time the dispatch loop sat waiting on the host decoder (0 == decode
@@ -55,11 +57,13 @@ def main():
     # warm pass (compiles any remaining buckets / per-geometry programs),
     # then a fresh-timer measured pass
     analyzer.analyze_images_batch(paths, filter_interiors=False,
-                                  device_resize=(mode == "device"))
+                                  device_resize=(mode == "device"),
+                                  fast_decode=(mode == "fast"))
     analyzer.metrics.stages = StageTimer()
     t0 = time.perf_counter()
     res = analyzer.analyze_images_batch(paths, filter_interiors=False,
-                                        device_resize=(mode == "device"))
+                                        device_resize=(mode == "device"),
+                                        fast_decode=(mode == "fast"))
     dt = time.perf_counter() - t0
 
     # count per path OCCURRENCE: repeated paths collapse in the result dict

@@ -55,6 +55,9 @@ def main(argv=None):
                         "single device). The int8/Pallas serving kernels "
                         "stay live per device via shard_map; weights "
                         "replicate; batch buckets round to N")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="DCT-scaled JPEG decode on POST /analyze "
+                        "(quality-approximate; see docs/PERF_NOTES.md)")
     p.add_argument("--max-queue", type=int, default=256,
                    help="admission-control bound on queued /analyze requests; "
                         "when full, new requests fast-fail with 503 + "
@@ -246,7 +249,8 @@ def main(argv=None):
             with GLOBAL_METRICS.stages.stage("serve_decode"):
                 crop = None
                 if use_native:
-                    pixels, ok = preprocess_jpeg_batch([data], size)
+                    pixels, ok = preprocess_jpeg_batch(
+                        [data], size, fast=args.fast_decode)
                     if ok[0]:
                         crop = pixels[0]
                 if crop is None:

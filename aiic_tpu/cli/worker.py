@@ -248,7 +248,10 @@ def main(argv=None):
             # uint8/float batch would silently corrupt under np.stack.
             with GLOBAL_METRICS.stages.stage("serve_decode"):
                 crop = None
-                if use_native:
+                # preprocess_jpeg_batch has its own Python fallback, so call
+                # it even without the native library — --fast-decode then
+                # rides PIL's draft mode instead of silently doing nothing.
+                if use_native or args.fast_decode:
                     pixels, ok = preprocess_jpeg_batch(
                         [data], size, fast=args.fast_decode)
                     if ok[0]:

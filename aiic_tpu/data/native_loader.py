@@ -112,33 +112,12 @@ def preprocess_jpeg_batch(
         return out, np.zeros((0,), bool)
     if lib is None:
         # Python fallback
-        from aiic_tpu.data.images import decode_image_bytes
-        from aiic_tpu.data.preprocess import (
-            center_crop_bounds,
-            resize_bicubic_numpy,
-            resize_target,
-        )
-
         ok = np.zeros((n,), bool)
         for i, blob in enumerate(jpeg_blobs):
-            full_dims = None
-            arr = None
-            if fast:
-                arr, full_dims = _decode_draft(blob, size)
-            if arr is None:
-                arr = decode_image_bytes(blob)
-            if arr is None:
-                continue
-            if full_dims is None:
-                full_dims = (arr.shape[1], arr.shape[0])
-            # resize target from the FULL geometry (parity rule), bicubic
-            # from whatever geometry the (possibly draft-scaled) decode gave
-            nw, nh = resize_target(full_dims[0], full_dims[1], size)
-            res = resize_bicubic_numpy(arr, nw, nh)
-            top, left = center_crop_bounds(nw, nh, size)
-            out[i] = res[max(top, 0): max(top, 0) + size,
-                         max(left, 0): max(left, 0) + size].astype(np.uint8)
-            ok[i] = True
+            crop = _preprocess_one_python(blob, size, fast)
+            if crop is not None:
+                out[i] = crop
+                ok[i] = True
         return out, ok
 
     bufs = [np.frombuffer(b, dtype=np.uint8) for b in jpeg_blobs]
@@ -153,6 +132,64 @@ def preprocess_jpeg_batch(
         lib.aiic_preprocess_jpeg_batch(
             ptrs, lens, n, size, outp, status, num_threads)
     ok = np.asarray(list(status)) == 0
+    return out, ok
+
+
+def _preprocess_one_python(blob: bytes, size: int, fast: bool):
+    """Pure-Python decode + PIL-exact resize + crop for one blob of ANY
+    decodable format (JPEG/PNG/...). Returns a uint8 (size, size, 3) crop
+    or None. ``fast`` tries PIL's DCT-domain draft decode first (JPEG
+    only; other formats fall through to the full decode). Note: the exact
+    (fast=False) decode prefers cv2 while the draft path is PIL — on hosts
+    where the two ship different libjpeg builds the no-scaling fast output
+    can differ from exact by IDCT rounding (the native C++ path has no
+    such split: one libjpeg both ways)."""
+    from aiic_tpu.data.images import decode_image_bytes
+    from aiic_tpu.data.preprocess import (
+        center_crop_bounds,
+        resize_bicubic_numpy,
+        resize_target,
+    )
+
+    full_dims = None
+    arr = None
+    if fast:
+        arr, full_dims = _decode_draft(blob, size)
+    if arr is None:
+        arr = decode_image_bytes(blob)
+    if arr is None:
+        return None
+    if full_dims is None:
+        full_dims = (arr.shape[1], arr.shape[0])
+    # resize target from the FULL geometry (parity rule), bicubic from
+    # whatever geometry the (possibly draft-scaled) decode gave
+    nw, nh = resize_target(full_dims[0], full_dims[1], size)
+    res = resize_bicubic_numpy(arr, nw, nh)
+    top, left = center_crop_bounds(nw, nh, size)
+    return res[max(top, 0): max(top, 0) + size,
+               max(left, 0): max(left, 0) + size].astype(np.uint8)
+
+
+def preprocess_any_batch(
+    blobs: Sequence[bytes],
+    size: int = 224,
+    num_threads: int = 0,
+    fast: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Bytes of ANY decodable format -> (uint8 crops, ok mask): the native
+    threaded JPEG path first, then a per-blob Python fallback for whatever
+    it rejected (PNG, WebP, ...). This is the byte-level entry the URL
+    analysis path uses so ``fast_decode`` applies to downloaded images,
+    not only local .jpg files."""
+    out, ok = preprocess_jpeg_batch(blobs, size=size,
+                                    num_threads=num_threads, fast=fast)
+    for i, blob in enumerate(blobs):
+        if ok[i] or not blob:
+            continue
+        crop = _preprocess_one_python(blob, size, fast)
+        if crop is not None:
+            out[i] = crop
+            ok[i] = True
     return out, ok
 
 

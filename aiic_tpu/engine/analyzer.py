@@ -513,6 +513,42 @@ class InteriorAnalyzer:
             if not pending:
                 return results
             res = self._fetch_pending(pending)
+        elif fast_decode:
+            # URL / mixed-format inputs with fast decode: fetch raw bytes
+            # concurrently, then one threaded byte-level preprocess pass
+            # (native DCT-scaled JPEG decode; per-blob fallback for other
+            # formats) — fast_decode applies to downloads, not only local
+            # .jpg files.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from aiic_tpu.data.native_loader import preprocess_any_batch
+
+            def fetch_bytes(p):
+                try:
+                    if p.startswith("http"):
+                        import requests
+
+                        r = requests.get(p, timeout=30.0)
+                        r.raise_for_status()
+                        return r.content
+                    with open(p, "rb") as f:
+                        return f.read()
+                except Exception:
+                    return b""
+
+            with self.metrics.stages.stage("decode"):
+                with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                    blobs = list(pool.map(fetch_bytes, image_paths))
+                pixels_u8, ok = preprocess_any_batch(
+                    blobs, self.config.image_size, fast=True)
+            for i, p in enumerate(image_paths):
+                if ok[i]:
+                    good_paths.append(p)
+                else:
+                    record_load_error(p)
+            if not ok.any():
+                return results
+            res = self.classify_pixels(pixels_u8[ok], max_batch=batch_size)
         else:
             from concurrent.futures import ThreadPoolExecutor
 

@@ -656,16 +656,19 @@ def _block_chunk_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
 
 
 def _block_plan(bsz: int, seq: int, width: int, mlp_dim: int, itemsize: int):
-    """Blocking decision for the fused whole-block kernel. Group dominates
-    (row-merging across images amortizes the seq->sublane padding on every
-    projection — the reason full-at-G=1 measured BELOW the kernel pair), so
-    the preference order is full-G2 > chunked-G2 > full-G1 > chunked-G1:
-    returns ("full", G, 1), ("chunked", G, C), or None when nothing fits."""
+    """Blocking decision for the fused whole-block kernel: full-weight
+    blockings before chunked ones (MEASURED at ViT-B/16 B=512-1024:
+    full-G1 5,588 > chunked-G2 5,395 img/s — the chunk-streamed weight
+    re-fetch costs more than the G=2 row-merge recovers), larger image
+    group first within each mode. Returns ("full", G, 1), ("chunked", G, C),
+    or None when nothing fits."""
+    for g in (2, 1):
+        if bsz % g == 0 and _block_vmem_bytes(
+                g, seq, width, mlp_dim, itemsize) <= _VMEM_BUDGET:
+            return ("full", g, 1)
     for g in (2, 1):
         if bsz % g:
             continue
-        if _block_vmem_bytes(g, seq, width, mlp_dim, itemsize) <= _VMEM_BUDGET:
-            return ("full", g, 1)
         c = 2
         while mlp_dim % c == 0 and mlp_dim // c >= 128:
             if _block_chunk_vmem_bytes(g, seq, width, mlp_dim, c,
@@ -765,29 +768,34 @@ def int8_block(
     heads: int,
     eps: float = 1e-5,
     interpret: bool = False,
+    plan_override=None,
 ):
     """(B, S, W) -> (B, S, W): one whole int8 transformer block per program.
 
     Returns ``None`` when the geometry's working set exceeds the VMEM
-    budget in every blocking (e.g. ViT-L/14, whose resident attention
-    weights alone crowd out the chunked form) — the caller falls back to
-    the attn/MLP kernel pair, which blocks the two halves separately.
+    budget in every blocking (e.g. ViT-H/14-scale, whose resident
+    attention weights alone crowd out the chunked form) — the caller falls
+    back to the attn/MLP kernel pair, which blocks the two halves
+    separately.
 
     Blocking is chosen by ``_block_plan``: the full weight-resident kernel
     at the largest image group that fits, else the hidden-axis-CHUNKED
-    variant (``_int8_block_chunk_kernel``) that streams the MLP weight pair
-    so the group survives. Full-at-G=1 is a MEASURED DEAD END at ViT-B/16
-    (bench.py B=512: 5588 vs 6009 img/s for the pair — the 197->224
-    sublane-padding tax of ungrouped projections outweighs the saved y1
-    HBM round trip), which is why the plan prefers chunked-G2 over
-    full-G1.
+    variant (``_int8_block_chunk_kernel``) that streams the MLP weight
+    pair. Note EVERY fused blocking at ViT-B/16 is a measured loss vs the
+    attn/MLP kernel pair (full-G1 5,588 / chunked-G2 5,395 vs 6,049 img/s
+    — docs/PERF_NOTES.md), which is why models.clip auto-engages the fused
+    kernel only on full-G>=2 plans (ViT-B/32: +3.4%).
+
+    ``plan_override``: a ("full"|"chunked", G, C) tuple forcing a specific
+    blocking (tests/microbenches only — must fit VMEM).
     """
     bsz, seq, width = x.shape
     dim = width // heads
     scale = dim ** -0.5
     mlp_dim = w1_q.shape[-1]
 
-    plan = _block_plan(bsz, seq, width, mlp_dim, x.dtype.itemsize)
+    plan = plan_override or _block_plan(bsz, seq, width, mlp_dim,
+                                        x.dtype.itemsize)
     if plan is None:
         return None
     mode, group, n_chunks = plan

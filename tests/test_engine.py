@@ -247,6 +247,43 @@ def test_analyze_images_batch_native_jpeg_path(tiny_analyzer, tmp_path, ref_root
         )
 
 
+def test_analyze_images_batch_fast_decode_paths(tiny_analyzer, tmp_path, ref_root):
+    """fast_decode=True works on BOTH ingest branches — the local-.jpg
+    streaming path and the byte-level mixed-format path (non-.jpg inputs,
+    the route URL downloads take) — with verdicts matching the exact path
+    and load errors still recorded."""
+    import shutil
+
+    from PIL import Image
+
+    srcs = [f"{ref_root}/dataset_images/interior{i}.jpg" for i in (1, 2)]
+    jpgs, pngs = [], []
+    for i, s in enumerate(srcs):
+        j = tmp_path / f"f{i}.jpg"
+        shutil.copy(s, j)
+        jpgs.append(str(j))
+        p = tmp_path / f"f{i}.png"
+        Image.open(s).save(p)
+        pngs.append(str(p))
+
+    exact = tiny_analyzer.analyze_images_batch(jpgs, filter_interiors=False)
+    fast_jpg = tiny_analyzer.analyze_images_batch(
+        jpgs, filter_interiors=False, fast_decode=True)
+    # mixed-format branch: .png paths fail the local-jpg gate; with
+    # fast_decode they route through preprocess_any_batch
+    fast_mixed = tiny_analyzer.analyze_images_batch(
+        pngs + [str(tmp_path / "missing.png")],
+        filter_interiors=False, fast_decode=True)
+    assert fast_mixed[str(tmp_path / "missing.png")]["detected_category"] == \
+        "load error"
+    for j, p in zip(jpgs, pngs):
+        assert fast_jpg[j]["is_interior"] == exact[j]["is_interior"]
+        assert fast_mixed[p]["is_interior"] == exact[j]["is_interior"]
+        np.testing.assert_allclose(
+            fast_jpg[j]["interior_confidence"],
+            exact[j]["interior_confidence"], atol=5e-3)
+
+
 def test_text_cache_roundtrip(tmp_path):
     training = [{"image_path": "x.jpg", "style": "s1", "characteristics": [],
                  "materials": [], "colors": [], "room_type": "r1"}]

@@ -553,8 +553,8 @@ def test_attention_bwd_kernel_text_geometry_causal():
 def test_int8_fused_block_bit_identical_to_kernel_pair():
     """The whole-block int8 kernel (ops/quant.int8_block) vs the
     attn-kernel + MLP-kernel pair at ViT-B/32 geometry (S=50 — where the
-    FULL fused blocking is what production auto-selects; B/16 now plans to
-    the chunked variant, covered by its own bit-identity test): the fused
+    FULL fused blocking is what production auto-selects; the chunked
+    variant is covered by its own bit-identity test): the fused
     program casts the attention output to the block dtype in-kernel —
     exactly what the kernel boundary did — so the composition must match
     bit for bit."""
@@ -696,22 +696,22 @@ def test_fused_block_auto_selection_rule():
 
 
 def test_fused_block_plan_selections():
-    """_block_plan's preference order (group dominates, then weight
-    residency): B/32 full-G2; B/16 chunked-G2 (full only fits at G=1, the
-    measured dead end); L/14 nothing (resident attention weights crowd out
-    even the chunked form)."""
+    """_block_plan's preference order (full blockings before chunked —
+    measured: full-G1 5,588 > chunked-G2 5,395 img/s at B/16 — larger
+    group within each mode): B/32 full-G2; B/16 full-G1; L/14 chunked-G1;
+    H/14-scale nothing (resident attention weights crowd out even the
+    chunked form)."""
     from aiic_tpu.ops.quant import _block_plan
 
     assert _block_plan(1024, 50, 768, 3072, 2) == ("full", 2, 1)
-    mode, g, c = _block_plan(1024, 197, 768, 3072, 2)
-    assert (mode, g) == ("chunked", 2) and c >= 2
-    # L/14: G=1 only (the G=2 chunked form exceeds budget), heavy chunking
+    assert _block_plan(1024, 197, 768, 3072, 2) == ("full", 1, 1)
+    # L/14: the full form never fits; the chunked form at G=1 does
     mode, g, c = _block_plan(512, 257, 1024, 4096, 2)
     assert (mode, g) == ("chunked", 1) and c >= 8
     # ViT-H/14-scale geometry: resident attention weights alone crowd out
     # even the chunked form -> the kernel pair keeps the geometry
     assert _block_plan(256, 257, 1280, 5120, 2) is None
-    # odd batch cannot group: full-G1 fits at B/16
+    # odd batch cannot group
     assert _block_plan(3, 197, 768, 3072, 2) == ("full", 1, 1)
 
 
@@ -727,8 +727,7 @@ def test_int8_chunked_fused_block_matches_reference():
     logic error (wrong chunk, stale scratch, group mixup) blows past the
     one-quant-level bound and still fails."""
     from aiic_tpu.ops.quant import (
-        _block_plan, _int8_mlp_rows, int8_block, int8_ln_qkv_attention,
-        quantize_weight,
+        _int8_mlp_rows, int8_block, int8_ln_qkv_attention, quantize_weight,
     )
 
     rng = np.random.default_rng(47)
@@ -751,9 +750,12 @@ def test_int8_chunked_fused_block_matches_reference():
     w1_q, s1 = quantize_weight(w1)
     w2_q, s2 = quantize_weight(w2)
 
-    plan = _block_plan(b, s, w, m, x.dtype.itemsize)
-    assert plan is not None and plan[0] == "chunked" and plan[1] == 2
-    n_chunks = plan[2]
+    # chunked-G2 fits the VMEM budget at B/16 but the plan prefers full-G1
+    # (measured faster); force the chunked blocking to test its numerics
+    from aiic_tpu.ops.quant import _VMEM_BUDGET, _block_chunk_vmem_bytes
+
+    n_chunks = 4
+    assert _block_chunk_vmem_bytes(2, s, w, m, n_chunks, 2) <= _VMEM_BUDGET
 
     y1 = int8_ln_qkv_attention(
         x, ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wo, bo, None,
@@ -766,7 +768,7 @@ def test_int8_chunked_fused_block_matches_reference():
     fused = int8_block(
         x, ln1_s, ln1_b, wqkv_q, sqkv, bqkv, wo, bo, None,
         ln2_s, ln2_b, w1_q, s1, b1, w2_q, s2, b2,
-        heads=heads, interpret=True)
+        heads=heads, interpret=True, plan_override=("chunked", 2, n_chunks))
     assert fused is not None
 
     diff = np.abs(np.asarray(fused, np.float32) - np.asarray(want, np.float32))

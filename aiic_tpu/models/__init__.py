@@ -1,4 +1,4 @@
-from aiic_tpu.models.config import CLIPConfig, TowerConfig, VIT_B_16, VIT_B_32, VIT_L_14, TINY_TEST
+from aiic_tpu.models.config import CLIPConfig, TowerConfig, VIT_B_16, VIT_B_32, VIT_L_14, VIT_L_14_336, TINY_TEST
 from aiic_tpu.models.clip import (
     encode_image,
     encode_text,
@@ -13,6 +13,7 @@ __all__ = [
     "VIT_B_16",
     "VIT_B_32",
     "VIT_L_14",
+    "VIT_L_14_336",
     "TINY_TEST",
     "encode_image",
     "encode_text",

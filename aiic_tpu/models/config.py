@@ -72,6 +72,21 @@ VIT_L_14 = CLIPConfig(
     embed_dim=768,
 )
 
+# OpenAI's fourth released CLIP ViT: the same L/14 towers fine-tuned at
+# 336px input (S = 577 visual tokens; its checkpoint ships its own
+# 577-row positional embedding, so the converters work unchanged). At this
+# geometry the int8 attention working set exceeds VMEM even at G=1 and the
+# guards route attention through the XLA int8 fallback while the MLP stays
+# on the hidden-axis-chunked Pallas kernel.
+VIT_L_14_336 = CLIPConfig(
+    name="ViT-L/14@336px",
+    image_size=336,
+    patch_size=14,
+    vision=TowerConfig(width=1024, layers=24, heads=16),
+    text=TowerConfig(width=768, layers=12, heads=12),
+    embed_dim=768,
+)
+
 # Small geometry for fast unit tests / multi-chip dry runs on CPU meshes.
 TINY_TEST = CLIPConfig(
     name="tiny-test",

@@ -38,14 +38,16 @@ def main():
 
     from aiic_tpu.engine.detector import DETECTOR_CATEGORIES, INTERIOR_COUNT
     from aiic_tpu.engine.programs import classify_batch
-    from aiic_tpu.models import VIT_B_16, VIT_B_32, VIT_L_14, init_clip_params
+    from aiic_tpu.models import (
+        VIT_B_16, VIT_B_32, VIT_L_14, VIT_L_14_336, init_clip_params,
+    )
 
     # AIIC_BENCH_MODEL: vit_b_16 (default; the reference's flagship and the
     # headline metric), vit_b_32, or vit_l_14 (framework-generality bench —
     # exercises the chunked int8 MLP kernel and G=1 attention at S=257).
     model = os.environ.get("AIIC_BENCH_MODEL", "vit_b_16")
     config = {"vit_b_16": VIT_B_16, "vit_b_32": VIT_B_32,
-              "vit_l_14": VIT_L_14}[model]
+              "vit_l_14": VIT_L_14, "vit_l_14_336": VIT_L_14_336}[model]
     # Grid amortization: B=512 measured +2.6% over B=256 (6008 vs 5857
     # img/s pipelined) and B=1024 another +0.9% (6049 vs 5996); single-image
     # p50 is measured separately and unaffected by this default.

@@ -122,6 +122,16 @@ def test_vit_l_14_config_math():
     assert cfg.embed_dim == 768 and cfg.text.width == 768
 
 
+def test_vit_l_14_336_config_math():
+    # OpenAI's L/14@336px: same towers, 336 input -> 24x24 grid, S=577
+    from aiic_tpu.models.config import VIT_L_14, VIT_L_14_336 as cfg
+
+    assert cfg.vision == VIT_L_14.vision and cfg.text == VIT_L_14.text
+    assert cfg.image_size == 336 and cfg.grid_size == 24
+    assert cfg.vision_seq_len == 577
+    assert cfg.embed_dim == VIT_L_14.embed_dim
+
+
 def test_structured_logging(capsys):
     import os
 

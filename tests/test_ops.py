@@ -683,6 +683,46 @@ def test_l14_geometry_serving_tower_kernels_close_to_fp():
     assert cos.min() > 0.999, cos
 
 
+def test_l14_336_geometry_serving_tower_kernels_close_to_fp():
+    """ViT-L/14@336px GEOMETRY (S=577, W=1024; layers cut to 1 for test
+    cost): the int8 attention working set exceeds VMEM even at G=1 so the
+    guards route attention through the XLA int8 fallback, while the MLP
+    stays on the hidden-axis-chunked Pallas kernel — and the composition
+    holds >=0.999 cosine vs the bf16 XLA path."""
+    import dataclasses
+
+    from aiic_tpu.models import VIT_L_14_336, encode_image, init_clip_params
+    from aiic_tpu.models.config import TowerConfig
+    from aiic_tpu.ops.quant import (
+        _VMEM_BUDGET, _attn_vmem_bytes, _mlp_plan, quantize_model,
+    )
+
+    # guard expectations at the real geometry
+    assert _attn_vmem_bytes(1, 577, 1024, 2) > _VMEM_BUDGET  # attention -> XLA
+    mode, g, c = _mlp_plan(1, 577, 1024, 4096, 2)
+    assert mode == "chunked" and c >= 2                       # MLP -> chunked
+
+    cfg = dataclasses.replace(
+        VIT_L_14_336,
+        vision=TowerConfig(width=1024, layers=1, heads=16),
+        text=TowerConfig(width=768, layers=1, heads=12),
+    )
+    assert cfg.vision_seq_len == 577
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_model(params)
+    px = jax.random.uniform(jax.random.PRNGKey(1),
+                            (1, cfg.image_size, cfg.image_size, 3),
+                            jnp.bfloat16)
+    base = np.asarray(encode_image(params, px, cfg, dtype=jnp.bfloat16,
+                                   attn_impl="xla"), np.float32)
+    quant = np.asarray(encode_image(qparams, px, cfg, dtype=jnp.bfloat16,
+                                    attn_impl="pallas"), np.float32)
+    cos = (base * quant).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(quant, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos
+
+
 def test_fused_block_auto_selection_rule():
     """The fused whole-block serving kernel auto-engages exactly where its
     G=2 working set fits (measured: WIN at ViT-B/32 16,702 vs 16,160 img/s;

@@ -27,14 +27,15 @@ def main():
     import jax.numpy as jnp
 
     from aiic_tpu.models import (
-        VIT_B_16, VIT_B_32, VIT_L_14, encode_image, init_clip_params,
+        VIT_B_16, VIT_B_32, VIT_L_14, VIT_L_14_336, encode_image,
+        init_clip_params,
     )
     from aiic_tpu.ops.quant import quantize_model
 
     name = sys.argv[1] if len(sys.argv) > 1 else "vit_l_14"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     config = {"vit_b_16": VIT_B_16, "vit_b_32": VIT_B_32,
-              "vit_l_14": VIT_L_14}[name]
+              "vit_l_14": VIT_L_14, "vit_l_14_336": VIT_L_14_336}[name]
     print(f"model={config.name} batch={batch} backend={jax.default_backend()}")
 
     params = init_clip_params(jax.random.PRNGKey(0), config)

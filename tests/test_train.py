@@ -441,3 +441,165 @@ def test_quantize_text_requires_int8_block_kernel():
     opt = make_optimizer(cfg, steps_per_epoch=1)
     with pytest.raises(ValueError, match="quantize_text"):
         make_train_step(TINY_TEST, cfg, opt)
+
+
+def test_train_trajectory_matches_torch_reference_loop():
+    """Multi-step trainer-trajectory parity vs a torch mirror of the
+    reference loop (train_lora.py:167-303 semantics: frozen image tower,
+    LoRA-wrapped text linears, symmetric CE at logit_scale.exp(), AdamW
+    lr=1e-4/wd=0.01 over the adapters, global-norm clip 1.0, cosine
+    annealing stepped per epoch).
+
+    The per-op parity tests pin each ingredient; this pins their
+    *composition over time* — gradients, clip, AdamW bias correction and
+    the schedule all interacting across epochs. Same initial weights
+    (converter), same adapters, same batches on both sides; 2 epochs x 2
+    steps; asserts the per-step loss curve and the final adapter tree.
+    """
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from aiic_tpu.models.config import CLIPConfig, TowerConfig
+    from aiic_tpu.models.init import from_hf_clip_state_dict
+    from aiic_tpu.train import make_train_step
+
+    cfg_m = CLIPConfig(
+        name="traj-test",
+        image_size=64,
+        patch_size=16,
+        vision=TowerConfig(width=128, layers=4, heads=4),
+        text=TowerConfig(width=128, layers=4, heads=4),
+        vocab_size=1024,
+        context_length=16,
+        embed_dim=128,
+    )
+    hf_cfg = transformers.CLIPConfig(
+        text_config={
+            "hidden_size": 128, "intermediate_size": 512,
+            "num_hidden_layers": 4, "num_attention_heads": 4,
+            "max_position_embeddings": 16, "vocab_size": 1024,
+            "hidden_act": "quick_gelu", "eos_token_id": 1023,
+        },
+        vision_config={
+            "hidden_size": 128, "intermediate_size": 512,
+            "num_hidden_layers": 4, "num_attention_heads": 4,
+            "image_size": 64, "patch_size": 16, "hidden_act": "quick_gelu",
+        },
+        projection_dim=128,
+    )
+    torch.manual_seed(7)
+    model = transformers.CLIPModel(hf_cfg).eval()
+    params = from_hf_clip_state_dict(model.state_dict(), cfg_m)
+
+    # --- identical data on both sides: 2 fixed batches, reused per epoch ---
+    rng = np.random.default_rng(3)
+    B, n_steps_per_epoch, n_epochs = 4, 2, 2
+    batches = []
+    for _ in range(n_steps_per_epoch):
+        px = rng.standard_normal((B, 64, 64, 3)).astype(np.float32)
+        tk = rng.integers(1, 1000, size=(B, 16), dtype=np.int64)
+        for r in range(B):
+            p = int(rng.integers(4, 15))
+            tk[r, p] = 1023  # EOT = highest id (argmax pooling on our side,
+            tk[r, p + 1:] = 0  # eos_token_id position on the HF side)
+        batches.append((px, tk))
+
+    # --- identical adapters: A ~ N(0, 0.02^2), B = 0, rank 4 / alpha 8 ---
+    rank, alpha, scaling = 4, 8, 2.0
+    attach = ("out_proj", "c_fc", "c_proj")
+    dims = {"out_proj": (128, 128), "c_fc": (128, 512), "c_proj": (512, 128)}
+    a_np = {
+        pt: (rng.standard_normal((4, dims[pt][0], rank)) * 0.02).astype(np.float32)
+        for pt in attach
+    }
+
+    lr, wd, clip = 1e-4, 0.01, 1.0
+
+    # --- torch mirror of the reference loop ---
+    class _LoRALinear(torch.nn.Module):
+        def __init__(self, base, a, d_out, scaling):
+            super().__init__()
+            self.base = base
+            self.lora_A = torch.nn.Parameter(torch.from_numpy(a).clone())
+            self.lora_B = torch.nn.Parameter(
+                torch.zeros(a.shape[1], d_out, dtype=torch.float32))
+            self.scaling = scaling
+
+        def forward(self, x):
+            return self.base(x) + (x @ self.lora_A @ self.lora_B) * self.scaling
+
+    lora_params = []
+    for i, layer in enumerate(model.text_model.encoder.layers):
+        for pt, getter, setter in (
+            ("out_proj", lambda l: l.self_attn.out_proj,
+             lambda l, m: setattr(l.self_attn, "out_proj", m)),
+            ("c_fc", lambda l: l.mlp.fc1, lambda l, m: setattr(l.mlp, "fc1", m)),
+            ("c_proj", lambda l: l.mlp.fc2, lambda l, m: setattr(l.mlp, "fc2", m)),
+        ):
+            mod = _LoRALinear(getter(layer), a_np[pt][i], dims[pt][1], scaling)
+            setter(layer, mod)
+            lora_params += [mod.lora_A, mod.lora_B]
+
+    opt = torch.optim.AdamW(lora_params, lr=lr, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=n_epochs)
+    ref_losses = []
+    for _epoch in range(n_epochs):
+        for px, tk in batches:
+            with torch.no_grad():
+                img = model.get_image_features(
+                    pixel_values=torch.from_numpy(px).permute(0, 3, 1, 2))
+                img = img / img.norm(dim=-1, keepdim=True)
+            txt = model.get_text_features(input_ids=torch.from_numpy(tk))
+            txt = txt / txt.norm(dim=-1, keepdim=True)
+            logits = model.logit_scale.exp() * img @ txt.t()
+            labels = torch.arange(B)
+            crit = torch.nn.CrossEntropyLoss()
+            loss = (crit(logits, labels) + crit(logits.t(), labels)) / 2
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(lora_params, clip)
+            opt.step()
+            ref_losses.append(float(loss.detach()))
+        sched.step()
+
+    ref_tree = {pt: {"A": [], "B": []} for pt in attach}
+    hf_attr = {"out_proj": lambda l: l.self_attn.out_proj,
+               "c_fc": lambda l: l.mlp.fc1, "c_proj": lambda l: l.mlp.fc2}
+    for layer in model.text_model.encoder.layers:
+        for pt in attach:
+            mod = hf_attr[pt](layer)
+            ref_tree[pt]["A"].append(mod.lora_A.detach().numpy())
+            ref_tree[pt]["B"].append(mod.lora_B.detach().numpy())
+
+    # --- our trainer: same step math through make_train_step ---
+    tcfg = TrainConfig(
+        epochs=n_epochs, batch_size=B, lr=lr, weight_decay=wd,
+        grad_clip=clip, rank=rank, alpha=alpha, attach=attach,
+        attn_impl="xla", dtype=jnp.float32,
+    )
+    optimizer = make_optimizer(tcfg, steps_per_epoch=n_steps_per_epoch)
+    train_step, _ = make_train_step(cfg_m, tcfg, optimizer)
+    train_step = jax.jit(train_step)
+
+    lora_tree = {
+        pt: {"A": jnp.asarray(a_np[pt]),
+             "B": jnp.zeros((4, rank, dims[pt][1]), jnp.float32)}
+        for pt in attach
+    }
+    opt_state = optimizer.init(lora_tree)
+    our_losses = []
+    key = jax.random.PRNGKey(0)
+    for _epoch in range(n_epochs):
+        for px, tk in batches:
+            loss, lora_tree, opt_state = train_step(
+                params, lora_tree, opt_state,
+                jnp.asarray(px), jnp.asarray(tk.astype(np.int32)), key)
+            our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=3e-4, atol=3e-4)
+    for pt in attach:
+        for name in ("A", "B"):
+            ours = np.asarray(lora_tree[pt][name])
+            ref = np.stack(ref_tree[pt][name])
+            np.testing.assert_allclose(ours, ref, atol=5e-6,
+                                       err_msg=f"{pt}.{name} diverged")

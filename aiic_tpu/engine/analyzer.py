@@ -460,12 +460,20 @@ class InteriorAnalyzer:
         pixel_list: List[np.ndarray] = []
 
         def record_load_error(path):
+            # Reason-string parity per path: under filter_interiors the
+            # reference routes load failures through the filter stage, which
+            # records them as non-interiors (main.py:330,353-358); with the
+            # filter off they surface as load errors (main.py:420-426).
+            if filter_interiors:
+                reason = "Nie wnętrze: load error (confidence: 0.000)"
+            else:
+                reason = "Błąd ładowania: could not load image"
             results[path] = {
                 "is_interior": False,
                 "interior_confidence": 0.0,
                 "detected_category": "load error",
                 "analysis": {},
-                "reason": "Błąd ładowania: could not load image",
+                "reason": reason,
             }
 
         # Fast path: local JPEG files STREAMED through the double-buffered

@@ -119,6 +119,14 @@ def test_analyzer_end_to_end_result_schema(tiny_analyzer, tmp_path):
     missing = results[paths[-1]]
     assert missing["is_interior"] is False
     assert missing["detected_category"] == "load error"
+    # With the filter ON the reference records load failures through the
+    # filter stage's rejection schema (main.py:330,353-358); with it OFF they
+    # surface as load errors (main.py:420-426).
+    assert missing["reason"] == "Nie wnętrze: load error (confidence: 0.000)"
+    no_filter = tiny_analyzer.analyze_images_batch(
+        [paths[-1]], filter_interiors=False
+    )
+    assert no_filter[paths[-1]]["reason"].startswith("Błąd ładowania")
 
     for p in paths[:3]:
         r = results[p]

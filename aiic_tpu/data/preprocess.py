@@ -100,11 +100,12 @@ def center_crop_bounds(w: int, h: int, size: int) -> Tuple[int, int]:
     return top, left
 
 
-def preprocess_pil(img, size: int = 224) -> np.ndarray:
-    """PIL image -> normalized float32 (size, size, 3), reference-exact.
+def preprocess_pil_u8(img, size: int = 224) -> np.ndarray:
+    """PIL image -> uint8 (size, size, 3) resize+crop, reference-exact.
 
-    Mirrors the torchvision Compose returned by ``clip.load``; PIL performs
-    the identical bicubic resample the reference goes through.
+    The pixel pipeline of :func:`preprocess_pil` WITHOUT the final
+    normalization — the form device-side normalize paths consume (the uint8
+    wire formats fold normalization into the device program).
     """
     from PIL import Image
 
@@ -122,7 +123,16 @@ def preprocess_pil(img, size: int = 224) -> np.ndarray:
         arr = np.pad(arr, ((pad_h, pad_h), (pad_w, pad_w), (0, 0)))
         top += pad_h
         left += pad_w
-    arr = arr[top : top + size, left : left + size]
+    return arr[top : top + size, left : left + size]
+
+
+def preprocess_pil(img, size: int = 224) -> np.ndarray:
+    """PIL image -> normalized float32 (size, size, 3), reference-exact.
+
+    Mirrors the torchvision Compose returned by ``clip.load``; PIL performs
+    the identical bicubic resample the reference goes through.
+    """
+    arr = preprocess_pil_u8(img, size)
     return ((arr.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
 
 

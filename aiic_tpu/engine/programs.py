@@ -81,10 +81,12 @@ def classify_batch(
     """Single fused program: (optionally normalize) + encode once, detect + analyze.
 
     ``pixels`` may be float (already normalized, reference-preprocess parity
-    path) or uint8 (serving fast path: 4x smaller host->device transfer,
-    normalization fused on device — see ops/preprocess).
+    path), HWC uint8 (serving fast path: 4x smaller host->device transfer,
+    normalization fused on device — see ops/preprocess), or patch-major
+    uint8 (B, N, 3*p*p) (the fastest wire: normalization folds into the
+    embed matmul inside encode_image — ops.preprocess.patch_norm_constants).
     """
-    if pixels.dtype == jnp.uint8:
+    if pixels.dtype == jnp.uint8 and pixels.ndim == 4:
         from aiic_tpu.ops.preprocess import normalize_u8
 
         pixels = normalize_u8(pixels, dtype=dtype)

@@ -504,14 +504,36 @@ def encode_image(
     lora_scaling: float = 1.0,
     remat: bool = False,
 ) -> jnp.ndarray:
-    """Image tower: normalized pixels (B, H, W, 3) -> embeddings (B, embed_dim).
+    """Image tower: pixels -> embeddings (B, embed_dim).
+
+    ``pixels`` is either normalized (B, H, W, 3) float (reference-preprocess
+    parity path), or **patch-major uint8** (B, N, 3*p*p) — the serving wire
+    format where normalization folds algebraically into the embed weight
+    (ops.preprocess.patch_norm_constants), making the embed head one matmul
+    straight from uint8 with no normalize pass or patchify transposes.
 
     Reference semantics: ``model.encode_image`` of OpenAI CLIP (used at
     main.py:204, main.py:444, train_lora.py:233).
     """
     v = params["visual"]
-    x = patchify(pixels.astype(dtype), config.patch_size)
-    x = jnp.dot(x, v["patch_embed"].astype(dtype), preferred_element_type=jnp.float32)
+    if pixels.ndim == 3:
+        if pixels.dtype != jnp.uint8:
+            raise ValueError(
+                "rank-3 pixels must be patch-major uint8 (B, N, 3*p*p); "
+                f"got {pixels.dtype}"
+            )
+        from aiic_tpu.ops.preprocess import patch_norm_constants
+
+        s, ms = patch_norm_constants(config.patch_size)
+        w = v["patch_embed"].astype(dtype) * jnp.asarray(s)[:, None].astype(dtype)
+        c = jnp.dot(
+            jnp.asarray(ms).astype(dtype), v["patch_embed"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        x = jnp.dot(pixels.astype(dtype), w, preferred_element_type=jnp.float32) - c
+    else:
+        x = patchify(pixels.astype(dtype), config.patch_size)
+        x = jnp.dot(x, v["patch_embed"].astype(dtype), preferred_element_type=jnp.float32)
     x = x.astype(dtype)
 
     cls = jnp.broadcast_to(v["cls"].astype(dtype), (x.shape[0], 1, x.shape[-1]))

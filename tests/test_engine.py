@@ -416,3 +416,46 @@ def test_warmup_compiles_the_claimed_bucket(tiny_analyzer, monkeypatch):
     big = tiny_analyzer.max_batch * 2
     tiny_analyzer.warmup([big])
     assert calls == [(big, big)]
+
+
+def test_analyzer_patch_wire_matches_hwc(tiny_analyzer, tmp_path):
+    """wire_format='patch' (patch-major uint8 on the wire, normalization
+    folded into the embed matmul) produces the same verdicts and near-equal
+    probabilities as the default HWC float path."""
+    from PIL import Image
+
+    patch_an = InteriorAnalyzer(
+        config=TINY_TEST, training_data=tiny_analyzer.training_data,
+        max_batch=4, wire_format="patch",
+    )
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"w{i}.png"
+        Image.fromarray(rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+
+    a = tiny_analyzer.analyze_images_batch(paths, filter_interiors=False)
+    b = patch_an.analyze_images_batch(paths, filter_interiors=False)
+    assert set(a) == set(b)
+    for p in paths:
+        assert a[p]["is_interior"] == b[p]["is_interior"]
+        assert a[p]["detected_category"] == b[p]["detected_category"]
+        for cat, top in a[p]["analysis"].items():
+            for (attr_a, v_a), (attr_b, v_b) in zip(top, b[p]["analysis"][cat]):
+                assert attr_a == attr_b
+                assert abs(v_a - v_b) < 2e-3
+
+    # single-image surfaces run through the same wire
+    img = Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    va = tiny_analyzer.is_interior_image(img)
+    vb = patch_an.is_interior_image(img)
+    assert va[0] == vb[0] and va[2] == vb[2]
+    assert abs(va[1] - vb[1]) < 2e-3
+
+
+def test_analyzer_rejects_unknown_wire_format():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wire_format"):
+        InteriorAnalyzer(config=TINY_TEST, training_data=[], wire_format="nchw")

@@ -814,3 +814,100 @@ def test_int8_chunked_fused_block_matches_reference():
     diff = np.abs(np.asarray(fused, np.float32) - np.asarray(want, np.float32))
     assert diff.max() < 1e-2, diff.max()            # <= one quant level
     assert (diff > 1e-5).mean() < 0.01, (diff > 1e-5).mean()  # >99% exact
+
+
+# ---------------------------------------------------------------------------
+# Patch-major uint8 wire format (folded normalize+patchify embed)
+# ---------------------------------------------------------------------------
+
+
+def test_patch_major_embed_fold_is_exactly_normalize_then_matmul():
+    """x_u8 @ (s*W) - (m*s)@W  ==  normalize(x_u8) @ W at fp32 (the algebra
+    behind the patch-major wire — ops.preprocess.patch_norm_constants)."""
+    from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD
+    from aiic_tpu.ops.preprocess import patch_norm_constants, to_patch_major
+
+    rng = np.random.default_rng(0)
+    p = 8
+    u8 = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    w = rng.standard_normal((3 * p * p, 16)).astype(np.float32) * 0.05
+
+    patches = to_patch_major(u8, p).astype(np.float64)
+    s, ms = patch_norm_constants(p)
+    got = patches @ (s[:, None] * w).astype(np.float64) - ms.astype(np.float64) @ w
+
+    # reference: per-channel normalize then patchify (models.clip order)
+    from aiic_tpu.models.clip import patchify
+
+    norm = ((u8.astype(np.float64) / 255.0) - CLIP_MEAN) / CLIP_STD
+    want = np.asarray(patchify(jnp.asarray(norm), p)) @ w
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_to_patch_major_matches_patchify_order():
+    from aiic_tpu.ops.preprocess import to_patch_major
+    from aiic_tpu.models.clip import patchify
+
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        to_patch_major(u8, 8),
+        np.asarray(patchify(jnp.asarray(u8.astype(np.float32)), 8)).astype(np.uint8),
+    )
+
+
+def test_encode_image_patch_major_matches_hwc_fp32():
+    """encode_image on patch-major uint8 == encode_image on the normalized
+    HWC float input, end to end through the tower (fp32, highest precision)."""
+    from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD
+    from aiic_tpu.models import TINY_TEST, encode_image, init_clip_params
+    from aiic_tpu.ops.preprocess import to_patch_major
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    norm = (((u8.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        a = np.asarray(encode_image(params, jnp.asarray(norm), TINY_TEST))
+        b = np.asarray(
+            encode_image(params, jnp.asarray(to_patch_major(u8, TINY_TEST.patch_size)), TINY_TEST)
+        )
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-5)
+
+
+def test_encode_image_rank3_float_rejected():
+    from aiic_tpu.models import TINY_TEST, encode_image, init_clip_params
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    bad = jnp.zeros((2, 16, 192), jnp.float32)
+    with pytest.raises(ValueError, match="patch-major uint8"):
+        encode_image(params, bad, TINY_TEST)
+
+
+def test_classify_batch_patch_wire_matches_hwc_uint8():
+    """The fused classify program gives the same verdicts/top-k on the
+    patch-major wire as on the HWC uint8 wire (fp32)."""
+    from aiic_tpu.engine.programs import classify_batch
+    from aiic_tpu.models import TINY_TEST, init_clip_params
+    from aiic_tpu.ops.preprocess import to_patch_major
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
+    det = rng.standard_normal((40, TINY_TEST.embed_dim)).astype(np.float32)
+    det /= np.linalg.norm(det, axis=-1, keepdims=True)
+    cat = rng.standard_normal((2, 6, TINY_TEST.embed_dim)).astype(np.float32)
+    mask = np.ones((2, 6), bool)
+
+    kw = dict(config=TINY_TEST, interior_count=11, dtype=jnp.float32, attn_impl="xla")
+    with jax.default_matmul_precision("highest"):
+        a = jax.tree.map(np.asarray, classify_batch(
+            params, jnp.asarray(u8), jnp.asarray(det), jnp.asarray(cat),
+            jnp.asarray(mask), **kw))
+        b = jax.tree.map(np.asarray, classify_batch(
+            params, jnp.asarray(to_patch_major(u8, TINY_TEST.patch_size)),
+            jnp.asarray(det), jnp.asarray(cat), jnp.asarray(mask), **kw))
+    np.testing.assert_array_equal(a["top_idx"], b["top_idx"])
+    np.testing.assert_allclose(a["interior_mass"], b["interior_mass"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(a["topk_vals"], b["topk_vals"], rtol=1e-3, atol=1e-5)

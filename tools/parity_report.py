@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--quantize", action="store_true",
                     help="int8 MLP + attention projection weights — gates the "
                          "exact bench.py serving config against the fp32 oracle")
+    ap.add_argument("--wire", default="hwc", choices=["hwc", "patch"],
+                    help="JAX-side input form: 'hwc' = normalized float "
+                         "(reference-exact), 'patch' = patch-major uint8 "
+                         "with normalization folded into the embed matmul "
+                         "(the bench.py wire format)")
     args = ap.parse_args()
 
     os.environ.setdefault("AIIC_PLATFORM", args.platform)
@@ -102,6 +107,17 @@ def main():
     print(f"scoring {len(paths)} images...", file=sys.stderr)
 
     pixels = np.stack([preprocess_pil(Image.open(p)) for p in paths])
+    if args.wire == "patch":
+        from aiic_tpu.data.preprocess import preprocess_pil_u8
+        from aiic_tpu.ops.preprocess import to_patch_major
+
+        our_pixels = to_patch_major(
+            np.stack([preprocess_pil_u8(Image.open(p)) for p in paths]),
+            VIT_B_16.patch_size,
+        )
+        print("JAX side: patch-major uint8 wire (folded normalize)", file=sys.stderr)
+    else:
+        our_pixels = pixels
     tokens = tokenize(DETECTOR_CATEGORIES).astype(np.int64)
 
     with torch.no_grad():
@@ -129,7 +145,7 @@ def main():
 
     enc = jax.jit(enc_fn)
     feats = np.concatenate([
-        np.asarray(enc(params, pixels[i : i + 16])) for i in range(0, len(pixels), 16)
+        np.asarray(enc(params, our_pixels[i : i + 16])) for i in range(0, len(our_pixels), 16)
     ])
     otxt = np.asarray(jax.jit(txt_fn)(params, tokens.astype(np.int32)))
     our_logits = 100.0 * feats @ otxt.T

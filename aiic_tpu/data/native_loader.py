@@ -65,6 +65,16 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             pass
+        try:  # stale .so without the patch-major wire export
+            lib.aiic_preprocess_jpeg_batch_v3.restype = None
+            lib.aiic_preprocess_jpeg_batch_v3.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
+        except AttributeError:
+            pass
         try:
             lib.aiic_jpeg_dims.restype = ctypes.c_int
             lib.aiic_jpeg_dims.argtypes = [
@@ -92,11 +102,16 @@ def preprocess_jpeg_batch(
     size: int = 224,
     num_threads: int = 0,
     fast: bool = False,
+    patch: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """JPEG bytes -> (uint8 pixels (N, size, size, 3), ok mask (N,)).
+    """JPEG bytes -> (uint8 pixels, ok mask (N,)).
 
-    Failed decodes leave zero pixels with ok=False (the caller applies the
-    reference's load-error result schema).
+    Pixels are HWC (N, size, size, 3), or patch-major (N, (size/p)^2,
+    3*p*p) when ``patch`` > 0 — the wire format whose normalization folds
+    into the device embed matmul (ops/preprocess.patch_norm_constants);
+    emitted directly by the C++ decode pool so the repack costs nothing on
+    the Python side. Failed decodes leave zero pixels with ok=False (the
+    caller applies the reference's load-error result schema).
 
     ``fast=True`` decodes at the smallest sufficient M/8 DCT scale before
     the bicubic (libjpeg scaled decode; the PIL fallback uses ``draft``),
@@ -105,17 +120,26 @@ def preprocess_jpeg_batch(
     bit-identical — opt-in for decode-bound deployments; the resize target
     geometry (torchvision truncation rule) is still computed from the full
     source dimensions."""
+    if patch and size % patch:
+        raise ValueError(f"size {size} not divisible by patch {patch}")
     lib = _build_and_load()
     n = len(jpeg_blobs)
-    out = np.zeros((n, size, size, 3), dtype=np.uint8)
+    shape = ((n, (size // patch) ** 2, 3 * patch * patch) if patch
+             else (n, size, size, 3))
+    out = np.zeros(shape, dtype=np.uint8)
     if n == 0:
         return out, np.zeros((0,), bool)
-    if lib is None:
-        # Python fallback
+    native_patch = lib is not None and hasattr(lib, "aiic_preprocess_jpeg_batch_v3")
+    if lib is None or (patch and not native_patch):
+        # Python fallback (whole path, or stale .so lacking the patch wire)
         ok = np.zeros((n,), bool)
         for i, blob in enumerate(jpeg_blobs):
             crop = _preprocess_one_python(blob, size, fast)
             if crop is not None:
+                if patch:
+                    from aiic_tpu.ops.preprocess import to_patch_major
+
+                    crop = to_patch_major(crop[None], patch)[0]
                 out[i] = crop
                 ok[i] = True
         return out, ok
@@ -125,7 +149,11 @@ def preprocess_jpeg_batch(
     lens = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_blobs])
     status = (ctypes.c_int * n)()
     outp = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    if hasattr(lib, "aiic_preprocess_jpeg_batch_v2"):
+    if native_patch:
+        lib.aiic_preprocess_jpeg_batch_v3(
+            ptrs, lens, n, size, outp, status, num_threads, int(bool(fast)),
+            patch)
+    elif hasattr(lib, "aiic_preprocess_jpeg_batch_v2"):
         lib.aiic_preprocess_jpeg_batch_v2(
             ptrs, lens, n, size, outp, status, num_threads, int(bool(fast)))
     else:  # stale .so: exact path only
@@ -175,19 +203,26 @@ def preprocess_any_batch(
     size: int = 224,
     num_threads: int = 0,
     fast: bool = False,
+    patch: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Bytes of ANY decodable format -> (uint8 crops, ok mask): the native
     threaded JPEG path first, then a per-blob Python fallback for whatever
     it rejected (PNG, WebP, ...). This is the byte-level entry the URL
     analysis path uses so ``fast_decode`` applies to downloaded images,
-    not only local .jpg files."""
+    not only local .jpg files. ``patch`` > 0 emits the patch-major wire
+    format (see preprocess_jpeg_batch)."""
     out, ok = preprocess_jpeg_batch(blobs, size=size,
-                                    num_threads=num_threads, fast=fast)
+                                    num_threads=num_threads, fast=fast,
+                                    patch=patch)
     for i, blob in enumerate(blobs):
         if ok[i] or not blob:
             continue
         crop = _preprocess_one_python(blob, size, fast)
         if crop is not None:
+            if patch:
+                from aiic_tpu.ops.preprocess import to_patch_major
+
+                crop = to_patch_major(crop[None], patch)[0]
             out[i] = crop
             ok[i] = True
     return out, ok
@@ -248,7 +283,7 @@ def decode_jpeg_raw(blob: bytes) -> Optional[np.ndarray]:
 
 def preprocess_jpeg_files(
     paths: Sequence[str], size: int = 224, num_threads: int = 0,
-    fast: bool = False,
+    fast: bool = False, patch: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     blobs: List[bytes] = []
     for p in paths:
@@ -258,4 +293,4 @@ def preprocess_jpeg_files(
         except OSError:
             blobs.append(b"")
     return preprocess_jpeg_batch(blobs, size=size, num_threads=num_threads,
-                                 fast=fast)
+                                 fast=fast, patch=patch)

@@ -28,6 +28,7 @@ class PrefetchingLoader:
         depth: int = 2,
         num_threads: int = 0,
         fast: bool = False,
+        patch: int = 0,
     ):
         self.paths = list(paths)
         self.batch_size = batch_size
@@ -37,6 +38,10 @@ class PrefetchingLoader:
         # DCT-scaled decode (native_loader.preprocess_jpeg_batch fast=True):
         # quality-approximate, for decode-bound deployments
         self.fast = fast
+        # patch > 0: batches come out patch-major (n, (size/p)^2, 3*p*p) —
+        # the wire format whose normalization folds into the embed matmul;
+        # the C++ pool emits it directly (native_loader patch=)
+        self.patch = patch
 
     def __len__(self):
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -54,7 +59,7 @@ class PrefetchingLoader:
                     chunk = self.paths[start : start + self.batch_size]
                     pixels, ok = preprocess_jpeg_files(
                         chunk, self.size, num_threads=self.num_threads,
-                        fast=self.fast,
+                        fast=self.fast, patch=self.patch,
                     )
                     q.put((pixels, ok, (start, start + len(chunk))))
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer

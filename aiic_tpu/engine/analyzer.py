@@ -523,6 +523,9 @@ class InteriorAnalyzer:
             loader = PrefetchingLoader(
                 list(image_paths), batch_size=cap, size=self.config.image_size,
                 fast=fast_decode,
+                # patch wire: the C++ decode pool emits patch-major directly,
+                # so the wire repack costs nothing on this path
+                patch=self.config.patch_size if self.wire_format == "patch" else 0,
             )
             pending: List[tuple] = []
             it = iter(loader)
@@ -572,7 +575,9 @@ class InteriorAnalyzer:
                 with ThreadPoolExecutor(max_workers=max_workers) as pool:
                     blobs = list(pool.map(fetch_bytes, image_paths))
                 pixels_u8, ok = preprocess_any_batch(
-                    blobs, self.config.image_size, fast=True)
+                    blobs, self.config.image_size, fast=True,
+                    patch=self.config.patch_size
+                    if self.wire_format == "patch" else 0)
             for i, p in enumerate(image_paths):
                 if ok[i]:
                     good_paths.append(p)

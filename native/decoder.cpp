@@ -216,12 +216,43 @@ std::vector<uint8_t> ResizeBicubic(const uint8_t* img, int w, int h,
   return out;
 }
 
+// Repack a (size, size, 3) HWC crop into patch-major (g*g, 3*p*p): flat
+// index k = c*p*p + py*p + px within a patch — channel-major, matching
+// models.clip.patchify / the torch Conv2d (out, C, kh, kw) weight layout —
+// so the device consumes it via the folded-normalize embed matmul
+// (aiic_tpu/ops/preprocess.patch_norm_constants) with no normalize pass or
+// patchify transposes. Emitting this at decode time makes the patch-major
+// wire free on the ingest path (no Python to_patch_major repack).
+void RepackPatchMajor(const uint8_t* hwc, int size, int patch, uint8_t* out) {
+  const int g = size / patch;
+  const int pp = patch * patch;
+  for (int gy = 0; gy < g; ++gy) {
+    for (int gx = 0; gx < g; ++gx) {
+      uint8_t* dst = out + (static_cast<size_t>(gy) * g + gx) * 3 * pp;
+      for (int py = 0; py < patch; ++py) {
+        const uint8_t* src =
+            hwc + ((static_cast<size_t>(gy) * patch + py) * size +
+                   static_cast<size_t>(gx) * patch) * 3;
+        uint8_t* d0 = dst + py * patch;
+        for (int px = 0; px < patch; ++px) {
+          d0[px] = src[px * 3 + 0];
+          d0[pp + px] = src[px * 3 + 1];
+          d0[2 * pp + px] = src[px * 3 + 2];
+        }
+      }
+    }
+  }
+}
+
 // Full single-image pipeline: decode + resize + center-crop to uint8 HWC.
 // fast != 0 uses the DCT-scaled decode (see DecodeJpeg): the resize target
 // is still computed from the FULL source geometry (parity geometry), but
 // the bicubic input is the scaled decode — up to 64x fewer pixels.
+// patch > 0 emits the crop patch-major (size/p)^2 x 3*p*p instead of HWC
+// (same byte count; requires size % patch == 0, else rejected).
 int PreprocessOne(const uint8_t* jpeg, size_t len, int size, uint8_t* out,
-                  int fast = 0) {
+                  int fast = 0, int patch = 0) {
+  if (patch < 0 || (patch > 0 && size % patch != 0)) return 2;
   std::vector<uint8_t> rgb;
   int w = 0, h = 0, fw = 0, fh = 0;
   if (!DecodeJpeg(jpeg, len, &rgb, &w, &h, &fw, &fh, fast ? size : 0) ||
@@ -233,11 +264,18 @@ int PreprocessOne(const uint8_t* jpeg, size_t len, int size, uint8_t* out,
   std::vector<uint8_t> resized = ResizeBicubic(rgb.data(), w, h, nw, nh);
   const int top = static_cast<int>(std::lround((nh - size) / 2.0));
   const int left = static_cast<int>(std::lround((nw - size) / 2.0));
+  std::vector<uint8_t> hwc;
+  uint8_t* crop = out;
+  if (patch > 0) {
+    hwc.resize(static_cast<size_t>(size) * size * 3);
+    crop = hwc.data();
+  }
   for (int y = 0; y < size; ++y) {
-    std::memcpy(out + static_cast<size_t>(y) * size * 3,
+    std::memcpy(crop + static_cast<size_t>(y) * size * 3,
                 resized.data() + ((static_cast<size_t>(y + top) * nw) + left) * 3,
                 static_cast<size_t>(size) * 3);
   }
+  if (patch > 0) RepackPatchMajor(crop, size, patch, out);
   return 0;
 }
 
@@ -251,13 +289,15 @@ int aiic_preprocess_jpeg(const uint8_t* jpeg, size_t len, int size, uint8_t* out
   return PreprocessOne(jpeg, len, size, out);
 }
 
-// Batched, threaded variant with a fast-decode switch. jpegs: array of n
-// pointers; lens: n lengths; out: n * size*size*3 contiguous; status: n
-// result codes (0 ok). fast != 0 decodes at the smallest sufficient M/8
-// DCT scale (quality-approximate; see DecodeJpeg).
-void aiic_preprocess_jpeg_batch_v2(const uint8_t** jpegs, const size_t* lens,
+// Batched, threaded variant with fast-decode + wire-layout switches.
+// jpegs: array of n pointers; lens: n lengths; out: n * size*size*3
+// contiguous; status: n result codes (0 ok). fast != 0 decodes at the
+// smallest sufficient M/8 DCT scale (quality-approximate; see DecodeJpeg).
+// patch > 0 emits each crop patch-major ((size/p)^2, 3*p*p) — the wire
+// format whose normalization folds into the device embed matmul.
+void aiic_preprocess_jpeg_batch_v3(const uint8_t** jpegs, const size_t* lens,
                                    int n, int size, uint8_t* out, int* status,
-                                   int num_threads, int fast) {
+                                   int num_threads, int fast, int patch) {
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (num_threads <= 0) num_threads = 4;
@@ -269,13 +309,22 @@ void aiic_preprocess_jpeg_batch_v2(const uint8_t** jpegs, const size_t* lens,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      status[i] = PreprocessOne(jpegs[i], lens[i], size, out + stride * i, fast);
+      status[i] = PreprocessOne(jpegs[i], lens[i], size, out + stride * i,
+                                fast, patch);
     }
   };
   std::vector<std::thread> pool;
   pool.reserve(num_threads);
   for (int t = 0; t < num_threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
+}
+
+// Pre-v3 signature (HWC wire only).
+void aiic_preprocess_jpeg_batch_v2(const uint8_t** jpegs, const size_t* lens,
+                                   int n, int size, uint8_t* out, int* status,
+                                   int num_threads, int fast) {
+  aiic_preprocess_jpeg_batch_v3(jpegs, lens, n, size, out, status,
+                                num_threads, fast, 0);
 }
 
 // Backwards-compatible exact-path entry (pre-v2 signature).

@@ -459,3 +459,35 @@ def test_analyzer_rejects_unknown_wire_format():
 
     with _pytest.raises(ValueError, match="wire_format"):
         InteriorAnalyzer(config=TINY_TEST, training_data=[], wire_format="nchw")
+
+
+def test_analyzer_patch_wire_streaming_jpegs(tiny_analyzer, tmp_path):
+    """wire_format='patch' on the streaming local-JPEG path: the C++ decode
+    pool emits patch-major directly (PrefetchingLoader patch=) and the
+    dispatch consumes it without a host repack; results match the HWC wire."""
+    from PIL import Image
+
+    patch_an = InteriorAnalyzer(
+        config=TINY_TEST, training_data=tiny_analyzer.training_data,
+        max_batch=4, wire_format="patch",
+    )
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"s{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)).save(
+            p, "JPEG", quality=95)
+        paths.append(str(p))
+
+    a = tiny_analyzer.analyze_images_batch(paths, filter_interiors=False)
+    b = patch_an.analyze_images_batch(paths, filter_interiors=False)
+    assert set(a) == set(b)
+    for p in paths:
+        assert a[p]["is_interior"] == b[p]["is_interior"]
+        assert a[p]["detected_category"] == b[p]["detected_category"]
+
+    # fast-decode byte-level ingest rides the same wire
+    c = patch_an.analyze_images_batch(paths, filter_interiors=False,
+                                      fast_decode=True)
+    for p in paths:
+        assert c[p]["detected_category"] == b[p]["detected_category"]

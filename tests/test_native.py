@@ -168,14 +168,85 @@ def test_prefetching_loader_propagates_producer_errors(ref_root, monkeypatch):
     calls = {"n": 0}
     real = native_loader.preprocess_jpeg_files
 
-    def flaky(chunk, size, num_threads=0, fast=False):
+    def flaky(chunk, size, num_threads=0, fast=False, patch=0):
         calls["n"] += 1
         if calls["n"] == 2:
             raise MemoryError("simulated decode-pool failure")
-        return real(chunk, size, num_threads=num_threads, fast=fast)
+        return real(chunk, size, num_threads=num_threads, fast=fast, patch=patch)
 
     monkeypatch.setattr(native_loader, "preprocess_jpeg_files", flaky)
     loader = PrefetchingLoader(paths, batch_size=4, size=224, depth=2)
     with pytest.raises(MemoryError, match="simulated"):
         for _ in loader:
             pass
+
+
+def test_native_patch_major_emission_bit_identical(ref_root):
+    """The C++ decode pool's patch-major wire (patch>0) is byte-for-byte the
+    Python repack (ops.preprocess.to_patch_major) of its HWC output."""
+    from aiic_tpu.ops.preprocess import to_patch_major
+
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:6]
+    hwc, ok1 = preprocess_jpeg_files(paths, 224)
+    pm, ok2 = preprocess_jpeg_files(paths, 224, patch=16)
+    assert ok1.all() and ok2.all()
+    assert pm.shape == (len(paths), 14 * 14, 3 * 16 * 16)
+    np.testing.assert_array_equal(pm, to_patch_major(hwc, 16))
+
+
+def test_patch_major_python_fallback(ref_root, monkeypatch):
+    """With the native library unavailable, patch>0 rides the Python repack
+    and produces the identical wire bytes."""
+    from aiic_tpu.data import native_loader
+    from aiic_tpu.ops.preprocess import to_patch_major
+
+    path = f"{ref_root}/dataset_images/interior1.jpg"
+    with open(path, "rb") as f:
+        blob = f.read()
+    native_pm, ok1 = native_loader.preprocess_jpeg_batch([blob], 224, patch=16)
+    monkeypatch.setattr(native_loader, "_build_and_load", lambda: None)
+    py_hwc, ok2 = native_loader.preprocess_jpeg_batch([blob], 224)
+    py_pm, ok3 = native_loader.preprocess_jpeg_batch([blob], 224, patch=16)
+    assert ok1.all() and ok2.all() and ok3.all()
+    np.testing.assert_array_equal(py_pm, to_patch_major(py_hwc, 16))
+    # native decode vs Python decode may differ by IDCT rounding; the wire
+    # LAYOUT must agree exactly on the overwhelming majority of bytes
+    agree = (native_pm == py_pm).mean()
+    assert agree > 0.95, agree
+
+
+def test_patch_major_rejects_bad_patch():
+    with pytest.raises(ValueError, match="not divisible"):
+        preprocess_jpeg_batch([b""], 224, patch=15)
+
+
+def test_patch_major_any_batch_non_jpeg_fallback(tmp_path):
+    """preprocess_any_batch(patch=...) repacks the per-blob Python fallback
+    (PNG input) into the same wire layout as the native JPEG path."""
+    import io
+
+    from PIL import Image
+
+    from aiic_tpu.data.native_loader import preprocess_any_batch
+    from aiic_tpu.ops.preprocess import to_patch_major
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (240, 260, 3), dtype=np.uint8)
+    png = io.BytesIO()
+    Image.fromarray(arr).save(png, "PNG")
+    pm, ok = preprocess_any_batch([png.getvalue()], 224, patch=16)
+    hwc, ok2 = preprocess_any_batch([png.getvalue()], 224)
+    assert ok.all() and ok2.all()
+    np.testing.assert_array_equal(pm, to_patch_major(hwc, 16))
+
+
+def test_prefetching_loader_patch_wire(ref_root):
+    from aiic_tpu.data.pipeline import PrefetchingLoader
+    from aiic_tpu.ops.preprocess import to_patch_major
+
+    paths = sorted(glob.glob(f"{ref_root}/dataset_images/*.jpg"))[:5]
+    hwc_batches = {s: p for p, _, (s, _) in PrefetchingLoader(paths, batch_size=3, size=224)}
+    for pixels, ok, (start, end) in PrefetchingLoader(paths, batch_size=3, size=224, patch=16):
+        assert pixels.shape == (end - start, 196, 768)
+        assert ok.all()
+        np.testing.assert_array_equal(pixels, to_patch_major(hwc_batches[start], 16))

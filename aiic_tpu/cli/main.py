@@ -30,6 +30,7 @@ def analyze_images_from_csv(
     quantize: bool = False,
     out_path: str | None = None,
     fast_decode: bool = False,
+    wire_format: str = "hwc",
     log=print,
 ):
     import jax.numpy as jnp
@@ -53,6 +54,7 @@ def analyze_images_from_csv(
         lora_alpha=8,  # inference defaults (main.py:521-522)
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype],
         quantize=quantize,
+        wire_format=wire_format,
     )
     results = analyzer.analyze_images_batch(
         urls,
@@ -117,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "path (up to 64x fewer pixels through IDCT+resize on "
                         "large sources; quality-approximate, not bit-exact "
                         "PIL preprocessing)")
+    p.add_argument("--wire-format", choices=["hwc", "patch"], default="hwc",
+                   help="host->device pixel layout: 'hwc' = uint8 (B,S,S,3) "
+                        "with the on-device normalize pass (reference-"
+                        "preprocess parity form); 'patch' = patch-major "
+                        "uint8 (B,N,3*p*p) emitted by the C++ decode pool — "
+                        "normalization folds into the embed matmul "
+                        "(the bench.py serving wire, parity-gated)")
     p.add_argument("--output", type=str, help="output JSON path")
     return p
 
@@ -144,6 +153,7 @@ def main(argv=None):
         quantize=args.quantize,
         out_path=args.output,
         fast_decode=args.fast_decode,
+        wire_format=args.wire_format,
     )
     return 0
 

@@ -55,6 +55,11 @@ def main(argv=None):
                         "single device). The int8/Pallas serving kernels "
                         "stay live per device via shard_map; weights "
                         "replicate; batch buckets round to N")
+    p.add_argument("--wire-format", choices=["hwc", "patch"], default="hwc",
+                   help="host->device pixel layout: 'patch' = patch-major "
+                        "uint8 emitted by the C++ decode pool; normalization "
+                        "folds into the embed matmul (the bench.py serving "
+                        "wire, parity-gated)")
     p.add_argument("--fast-decode", action="store_true",
                    help="DCT-scaled JPEG decode on POST /analyze "
                         "(quality-approximate; see docs/PERF_NOTES.md)")
@@ -182,6 +187,7 @@ def main(argv=None):
         quantize=args.quantize,
         text_cache=text_cache,
         mesh=mesh,
+        wire_format=args.wire_format,
     )
 
     if args.serve:
@@ -225,6 +231,10 @@ def main(argv=None):
 
         use_native = native_available()
         size = analyzer.config.image_size
+        # patch wire: the native decode emits patch-major directly; the
+        # non-JPEG fallback crop gets the Python repack
+        wire_patch = (analyzer.config.patch_size
+                      if args.wire_format == "patch" else 0)
 
         def _submit(item):
             import concurrent.futures
@@ -253,7 +263,7 @@ def main(argv=None):
                 # rides PIL's draft mode instead of silently doing nothing.
                 if use_native or args.fast_decode:
                     pixels, ok = preprocess_jpeg_batch(
-                        [data], size, fast=args.fast_decode)
+                        [data], size, fast=args.fast_decode, patch=wire_patch)
                     if ok[0]:
                         crop = pixels[0]
                 if crop is None:
@@ -266,6 +276,10 @@ def main(argv=None):
                     top, left = center_crop_bounds(nw, nh, size)
                     crop = res[max(top, 0): max(top, 0) + size,
                                max(left, 0): max(left, 0) + size].astype(np.uint8)
+                    if wire_patch:
+                        from aiic_tpu.ops.preprocess import to_patch_major
+
+                        crop = to_patch_major(crop[None], wire_patch)[0]
             return _submit(crop)
 
         # Serve immediately; warm (text cache + bucket precompile) in the

@@ -110,3 +110,29 @@ def test_analyzer_quantize_flag_reaches_engine():
     # the request must not half-apply: no dead int8 weights, honest flag
     assert not b.quantized
     assert "mlp_q" not in b.params["visual"]["blocks"]
+
+
+def test_wire_format_flag_reaches_engine(monkeypatch, tmp_path):
+    """--wire-format on the batch CLI constructs the analyzer with the
+    patch-major wire."""
+    import aiic_tpu.cli.main as cli_main
+    from aiic_tpu.engine import InteriorAnalyzer
+
+    seen = {}
+    real = InteriorAnalyzer.__init__
+
+    def spy(self, *a, **kw):
+        seen["wire_format"] = kw.get("wire_format")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(InteriorAnalyzer, "__init__", spy)
+    csv = tmp_path / "x.csv"
+    csv.write_text("offer_id,seq,url\n1,1,/nonexistent/x.jpg\n")
+    cli_main.analyze_images_from_csv(
+        str(csv), dataset_json="/root/reference/interior_dataset.json",
+        wire_format="patch", out_path=str(tmp_path / "o.json"), log=lambda *a: None)
+    assert seen["wire_format"] == "patch"
+
+    assert "--wire-format" in cli_main.build_parser().format_help()
+    import aiic_tpu.cli.worker as cli_worker
+    assert "--wire-format" in open(cli_worker.__file__).read()

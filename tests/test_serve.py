@@ -481,3 +481,32 @@ def test_batcher_admission_bound_is_exact_under_concurrency():
     finally:
         release.set()
         b.close()
+
+
+def test_batcher_patch_wire_layout_matches_hwc():
+    """The worker's patch-wire serving layout: rank-2 patch-major uint8
+    items stack into rank-3 batches the classify program consumes directly;
+    verdicts match the HWC uint8 wire."""
+    from aiic_tpu.ops.preprocess import to_patch_major
+
+    an_hwc = InteriorAnalyzer(config=TINY_TEST, training_data=TRAINING,
+                              max_batch=8)
+    an_pm = InteriorAnalyzer(config=TINY_TEST, training_data=TRAINING,
+                             max_batch=8, wire_format="patch")
+    rng = np.random.default_rng(5)
+    s = TINY_TEST.image_size
+    crops = rng.integers(0, 256, (5, s, s, 3), dtype=np.uint8)
+
+    def run(an, items):
+        batcher = DynamicBatcher(
+            lambda px: list(an.classify_pixels(px)["top_idx"]),
+            max_batch=8, max_wait_ms=5.0,
+        )
+        try:
+            return [batcher(it) for it in items]
+        finally:
+            batcher.close()
+
+    got_hwc = run(an_hwc, list(crops))
+    got_pm = run(an_pm, list(to_patch_major(crops, TINY_TEST.patch_size)))
+    assert [int(x) for x in got_hwc] == [int(x) for x in got_pm]

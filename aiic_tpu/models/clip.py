@@ -522,15 +522,26 @@ def encode_image(
                 "rank-3 pixels must be patch-major uint8 (B, N, 3*p*p); "
                 f"got {pixels.dtype}"
             )
-        from aiic_tpu.ops.preprocess import patch_norm_constants
+        if "patch_embed_q" in v:
+            # int8 embed (serving quantization): exact uint8 activations,
+            # int8 weights — ops.preprocess.quantize_patch_embed
+            q = v["patch_embed_q"]
+            xs8 = jax.lax.bitcast_convert_type(
+                pixels ^ jnp.uint8(0x80), jnp.int8)
+            y = jax.lax.dot_general(
+                xs8, q["wq"], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            x = y.astype(jnp.float32) * q["wsc"] + q["c2"]
+        else:
+            from aiic_tpu.ops.preprocess import patch_norm_constants
 
-        s, ms = patch_norm_constants(config.patch_size)
-        w = v["patch_embed"].astype(dtype) * jnp.asarray(s)[:, None].astype(dtype)
-        c = jnp.dot(
-            jnp.asarray(ms).astype(dtype), v["patch_embed"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        x = jnp.dot(pixels.astype(dtype), w, preferred_element_type=jnp.float32) - c
+            s, ms = patch_norm_constants(config.patch_size)
+            w = v["patch_embed"].astype(dtype) * jnp.asarray(s)[:, None].astype(dtype)
+            c = jnp.dot(
+                jnp.asarray(ms).astype(dtype), v["patch_embed"].astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            x = jnp.dot(pixels.astype(dtype), w, preferred_element_type=jnp.float32) - c
     else:
         x = patchify(pixels.astype(dtype), config.patch_size)
         x = jnp.dot(x, v["patch_embed"].astype(dtype), preferred_element_type=jnp.float32)

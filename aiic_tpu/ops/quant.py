@@ -945,5 +945,13 @@ def quantize_model_mlp(
 
 
 def quantize_model(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Full int8 serving quantization: MLP + attention projections."""
-    return quantize_model_mlp(params, attn=True)
+    """Full int8 serving quantization: MLP + attention projections, plus the
+    int8 folded patch-embed for the patch-major uint8 wire (engages only on
+    rank-3 uint8 inputs — the float/HWC paths keep the original weight)."""
+    from aiic_tpu.ops.preprocess import quantize_patch_embed
+
+    out = quantize_model_mlp(params, attn=True)
+    visual = dict(out["visual"])
+    visual["patch_embed_q"] = quantize_patch_embed(visual["patch_embed"])
+    out["visual"] = visual
+    return out

@@ -100,6 +100,10 @@ def param_pspecs(params: Params, *, replicate_visual: bool = False) -> Params:
         for qk in ("mlp_q", "attn_q"):
             if qk in blocks:
                 specs[tower]["blocks"][qk] = jax.tree.map(lambda _: REPL, blocks[qk])
+    # int8 folded patch-embed (patch-major uint8 wire): small, replicate
+    if "patch_embed_q" in params.get("visual", {}):
+        specs["visual"]["patch_embed_q"] = jax.tree.map(
+            lambda _: REPL, params["visual"]["patch_embed_q"])
     return specs
 
 

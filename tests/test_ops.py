@@ -911,3 +911,64 @@ def test_classify_batch_patch_wire_matches_hwc_uint8():
     np.testing.assert_array_equal(a["top_idx"], b["top_idx"])
     np.testing.assert_allclose(a["interior_mass"], b["interior_mass"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(a["topk_vals"], b["topk_vals"], rtol=1e-3, atol=1e-5)
+
+
+def test_quantize_patch_embed_close_to_exact_normalize_matmul():
+    """int8 folded embed (exact uint8 activations, int8 weights) stays within
+    weight-quantization error of normalize-then-matmul at fp64."""
+    from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD
+    from aiic_tpu.models.clip import patchify
+    from aiic_tpu.ops.preprocess import quantize_patch_embed, to_patch_major
+
+    rng = np.random.default_rng(4)
+    p = 8
+    u8 = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    w = rng.standard_normal((3 * p * p, 16)).astype(np.float32) * 0.05
+
+    q = quantize_patch_embed(w)
+    pm = to_patch_major(u8, p)
+    xs8 = (pm.astype(np.int16) - 128).astype(np.int8)
+    got = (xs8.astype(np.int32) @ np.asarray(q["wq"], np.int32)
+           ).astype(np.float64) * np.asarray(q["wsc"]) + np.asarray(q["c2"])
+
+    norm = ((u8.astype(np.float64) / 255.0) - CLIP_MEAN) / CLIP_STD
+    want = np.asarray(patchify(jnp.asarray(norm), p)) @ w.astype(np.float64)
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 2e-2
+    cos = (got.ravel() @ want.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.9999, cos
+
+
+def test_encode_image_int8_embed_engages_on_patch_wire_only():
+    """quantize_model attaches patch_embed_q; encode_image uses it on rank-3
+    uint8 inputs (close to the bf16 folded path) and IGNORES it on the
+    rank-4 float parity path (bit-identical to un-quantized embed there)."""
+    from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD
+    from aiic_tpu.models import TINY_TEST, encode_image, init_clip_params
+    from aiic_tpu.ops.preprocess import quantize_patch_embed, to_patch_major
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    vq = dict(params["visual"])
+    vq["patch_embed_q"] = quantize_patch_embed(vq["patch_embed"])
+    params_q = dict(params, visual=vq)
+
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    pm = jnp.asarray(to_patch_major(u8, TINY_TEST.patch_size))
+    norm = (((u8.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        plain = np.asarray(encode_image(params, pm, TINY_TEST))
+        quant = np.asarray(encode_image(params_q, pm, TINY_TEST))
+        # embed weight quant error propagated through the tower: small but
+        # nonzero — and it must actually differ (proof the int8 path ran)
+        assert not np.array_equal(plain, quant)
+        cos = (plain * quant).sum(-1) / (
+            np.linalg.norm(plain, axis=-1) * np.linalg.norm(quant, axis=-1))
+        assert cos.min() > 0.999, cos.min()
+
+        # rank-4 float path ignores patch_embed_q entirely
+        a = np.asarray(encode_image(params, jnp.asarray(norm), TINY_TEST))
+        b = np.asarray(encode_image(params_q, jnp.asarray(norm), TINY_TEST))
+        np.testing.assert_array_equal(a, b)

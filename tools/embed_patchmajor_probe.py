@@ -103,6 +103,32 @@ def main():
         x = jnp.concatenate([cls, x], axis=1) + v["pos"].astype(dtype)
         return layer_norm(x, v["ln_pre"])
 
+    # (e) int8 embed: the wire is EXACT uint8, so only the weights quantize.
+    # x_s8 = x_u8 - 128 (xor 0x80 bitcast to int8 — one cheap lane op), and
+    #   y = x_s8 @ W'_q * wsc + c2,  W' = s[:,None]*W,  c2 = ((128-255m)*s)@W
+    # int8 x int8 MACs run at 2x the bf16 rate on v5e and the uint8->bf16
+    # convert pass over (B, N, 3p^2) disappears.
+    w_fp = np.asarray(v["patch_embed"].astype(jnp.float32))
+    w_folded = w_fp * s_np[:, None]
+    wsc_np = np.abs(w_folded).max(axis=0) / 127.0
+    wq_np = np.clip(np.round(w_folded / wsc_np), -127, 127).astype(np.int8)
+    c2_np = ((128.0 - m_np) * s_np) @ w_fp
+    wq = jnp.asarray(wq_np)
+    wsc = jnp.asarray(wsc_np.astype(np.float32))
+    c2 = jnp.asarray(c2_np.astype(np.float32))
+
+    def embed_patchmajor_int8(pm_u8, xor):
+        xs8 = jax.lax.bitcast_convert_type(
+            jnp.bitwise_xor(jnp.bitwise_xor(pm_u8, xor), jnp.uint8(0x80)),
+            jnp.int8)
+        y = jax.lax.dot_general(
+            xs8, wq, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        x = (y.astype(jnp.float32) * wsc + c2).astype(dtype)
+        cls = jnp.broadcast_to(v["cls"].astype(dtype), (x.shape[0], 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1) + v["pos"].astype(dtype)
+        return layer_norm(x, v["ln_pre"])
+
     def timed(fn, arg, tag, per_img=False):
         @jax.jit
         def loop(a):
@@ -151,8 +177,20 @@ def main():
     print(f"fp32 fold check: max |a-b| / max|a| = {np.abs(a32 - b32).max() / denom:.2e}",
           flush=True)
 
+    # int8-embed numerics vs the exact folded fp32 embed
+    e32 = np.asarray(jax.jit(
+        lambda pm: (jax.lax.dot_general(
+            jax.lax.bitcast_convert_type(pm ^ np.uint8(0x80), jnp.int8),
+            wq, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * wsc + c2))(patches))
+    cos = (e32.ravel() @ b32.ravel()) / (
+        np.linalg.norm(e32) * np.linalg.norm(b32) + 1e-9)
+    print(f"int8 embed vs fp32 folded: cosine {cos:.6f}, "
+          f"max rel {np.abs(e32 - b32).max() / denom:.2e}", flush=True)
+
     timed(embed_current, pixels, "(a) embed current (norm+patchify+mm)")
     timed(embed_patchmajor, patches, "(b) embed patch-major u8 (folded mm)")
+    timed(embed_patchmajor_int8, patches, "(e) embed patch-major INT8 mm")
     timed(full_current, pixels, "(c) FULL classify, current wire", per_img=True)
     timed(full_patchmajor, patches, "(d) FULL classify, patch-major wire", per_img=True)
 

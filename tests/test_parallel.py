@@ -365,3 +365,33 @@ def test_device_resize_under_mesh_warns_and_falls_back(tmp_path):
         res = meshy.analyze_images_batch([str(p)], device_resize=True)
     assert any("device_resize" in str(x.message) for x in w)
     assert str(p) in res
+
+
+def test_analyzer_mesh_patch_wire_matches_single_device():
+    """The patch-major uint8 wire under a mesh: rank-3 batches shard on the
+    leading axis through shard_map (P(axes) is rank-agnostic) and the int8
+    folded embed (patch_embed_q, replicated) matches the single-device
+    engine."""
+    from aiic_tpu.engine.analyzer import InteriorAnalyzer
+
+    training = [
+        {"image_path": "a.jpg", "style": "nowoczesny",
+         "characteristics": ["jasne"], "materials": ["drewno"],
+         "colors": ["bialy"], "room_type": "kuchnia"},
+    ]
+    kw = dict(config=CFG, training_data=training, dtype=jnp.bfloat16,
+              attn_impl="pallas", quantize=True, max_batch=8,
+              wire_format="patch")
+    single = InteriorAnalyzer(**kw)
+    mesh = create_mesh(8, tp=2)
+    meshy = InteriorAnalyzer(**kw, mesh=mesh)
+
+    rng = np.random.default_rng(1)
+    hwc = rng.integers(0, 255, (5, CFG.image_size, CFG.image_size, 3),
+                       dtype=np.uint8)
+    a = single.classify_pixels(hwc)  # rank-4 uint8 -> engine repacks
+    b = meshy.classify_pixels(hwc)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k], np.float32),
+                                   np.asarray(b[k], np.float32),
+                                   atol=1e-5, err_msg=k)

@@ -2,7 +2,10 @@
 time the FIRST POST /analyze after readiness — it must not hit a compile
 stall (the warmup precompiled every bucket). Prints one JSON line.
 
-    python tools/rest_smoke.py [port]
+    python tools/rest_smoke.py [port] [extra worker args...]
+
+e.g. ``python tools/rest_smoke.py 3378 --wire-format patch --quantize``
+drives the int8 + patch-major-wire serving config through the REST surface.
 
 Uses SIGTERM (never SIGKILL) to stop the server: a hard-killed TPU client
 leaves a stale device claim on this container's relay.
@@ -22,12 +25,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     port = int(sys.argv[1]) if len(sys.argv) > 1 else 3377
+    extra = sys.argv[2:]
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.Popen(
         [sys.executable, "-m", "aiic_tpu.cli.worker", "--serve",
          "--port", str(port), "--dataset-json",
-         "/root/reference/interior_dataset.json"],
+         "/root/reference/interior_dataset.json", *extra],
         cwd=REPO, env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )

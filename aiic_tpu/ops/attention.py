@@ -51,6 +51,29 @@ def _mm_prec(dt):
 # keep the *unnormalized* fp32 p@v accumulation safely bounded
 # (197 · e^70 · |v| ≈ 1e33 ≪ 3.4e38 fp32 max).
 LOG2E = 1.4426950408889634
+
+# Group-selection budget for the packed-qkv attention core, calibrated
+# against Mosaic's measured stack: ViT-L/14@336 (S=577, W=1024) reports
+# 17.93 MB actual at G=1 vs 17.0 MB from this estimator; ViT-B/16 G=2 is
+# ~6.2 MB estimated vs ~9.3 MB measured-with-overheads — both on the right
+# side of the budget.
+_CORE_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def qkv_core_vmem_bytes(group: int, seq: int, width: int, itemsize: int) -> int:
+    """Scoped-VMEM estimate for one fused_attention_qkv program: double-
+    buffered qkv-in + out slabs, fp32 mask + two live (S, S) probability
+    tiles, and the per-head output accumulation/concat scratch."""
+    return (2 * group * seq * 4 * width * itemsize   # dbuf (S,3W) in + (S,W) out
+            + 3 * seq * seq * 4                       # mask + 2 live prob tiles
+            + 3 * group * seq * width * itemsize)     # concat/epilogue scratch
+
+
+def qkv_core_fits(seq: int, width: int, itemsize: int, group: int = 1) -> bool:
+    """Whether the packed-qkv core compiles at the given group — callers
+    with VMEM-overflow fallbacks must check this before selecting the
+    kernel (ViT-L/14@336's S=577/W=1024 does NOT fit even at G=1)."""
+    return qkv_core_vmem_bytes(group, seq, width, itemsize) <= _CORE_VMEM_BUDGET
 _EXP2_CLAMP = 70.0 * LOG2E
 
 
@@ -385,11 +408,17 @@ def fused_attention_qkv(
 
     # Scoped-VMEM budget (16MB): measured stack usage for ViT-B geometry is
     # ~9.3M at bf16/G=2 and ~20.8M at fp32/G=2 — so two images per program in
-    # bf16, one in fp32. (G=4 bf16 OOMs at 18.5M.)
+    # bf16, one in fp32. (G=4 bf16 OOMs at 18.5M.) Larger geometries
+    # (ViT-L/14@336: S=577, W=1024) reduce the group until the estimate
+    # fits — double-buffered in/out slabs plus mask and two live per-head
+    # (S, S) fp32 probability tiles.
     group = 2 if qkv.dtype.itemsize <= 2 else 1
     while bsz % group != 0:
         group //= 2
     group = max(group, 1)
+    while group > 1 and not qkv_core_fits(seq, heads * dim,
+                                          qkv.dtype.itemsize, group):
+        group //= 2
 
     full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
 

@@ -401,13 +401,42 @@ def _attn_vmem_bytes(group: int, seq: int, width: int, itemsize: int) -> int:
     )
 
 
+# HBM budget for the fallback's materialized (chunk, H, S, S) fp32
+# probability tensor: geometries that reach the XLA fallback have large S
+# (e.g. ViT-L/14@336's S=577), where an unchunked batch would allocate
+# B*H*S^2*4 bytes (24.5 GB at B=1024) and OOM the 16 GB chip.
+_FALLBACK_PROBS_BUDGET = 1 << 30
+
+
 def _int8_attn_rows_xla(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo,
                         bo, mask, *, heads, dim, scale, eps):
     """The int8 attention half-block as plain XLA ops — the VMEM-overflow
     fallback for geometries whose working set exceeds the kernel budget.
     Same math as ``_int8_attn_kernel`` (row-quant + int8 QKV projection,
     log2-domain no-max softmax with the denominator folded past p@v, bf16
-    output projection)."""
+    output projection). Batches whose probability tensor exceeds
+    _FALLBACK_PROBS_BUDGET run in lax.map chunks (identical numerics — the
+    math is per-image)."""
+    bsz, seq, width = x.shape
+    per_img = heads * seq * seq * 4
+    chunk = max(1, min(bsz, _FALLBACK_PROBS_BUDGET // per_img))
+    while bsz % chunk:
+        chunk -= 1
+    if chunk < bsz:
+        body = functools.partial(
+            _int8_attn_rows_xla_body, ln_scale=ln_scale, ln_bias=ln_bias,
+            wqkv_q=wqkv_q, sqkv=sqkv, bqkv=bqkv, wo=wo, bo=bo, mask=mask,
+            heads=heads, dim=dim, scale=scale, eps=eps)
+        out = jax.lax.map(body, x.reshape(bsz // chunk, chunk, seq, width))
+        return out.reshape(bsz, seq, width)
+    return _int8_attn_rows_xla_body(
+        x, ln_scale=ln_scale, ln_bias=ln_bias, wqkv_q=wqkv_q, sqkv=sqkv,
+        bqkv=bqkv, wo=wo, bo=bo, mask=mask, heads=heads, dim=dim,
+        scale=scale, eps=eps)
+
+
+def _int8_attn_rows_xla_body(x, *, ln_scale, ln_bias, wqkv_q, sqkv, bqkv,
+                             wo, bo, mask, heads, dim, scale, eps):
     bsz, seq, width = x.shape
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -434,6 +463,43 @@ def _int8_attn_rows_xla(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo,
 
     out = jax.lax.dot_general(
         attn.astype(x.dtype), wo,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out.astype(jnp.float32) + bo.astype(jnp.float32)
+    return (xf + out.reshape(bsz, seq, width)).astype(x.dtype)
+
+
+def _int8_attn_large_s(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo,
+                       mask, *, heads, eps, interpret):
+    """Large-S overflow path that KEEPS the MXU kernels: when the
+    half-block's whole working set exceeds the scoped-VMEM budget (e.g.
+    ViT-L/14@336's S=577 — qkv alone is 7.1 MB fp32), the projections run
+    as XLA int8 matmuls over (B*S, W) and only the attention CORE runs in
+    Pallas (``fused_attention_qkv``: grid over images, ~10 MB/program at
+    G=1) — the same row-quant + log2-domain no-max softmax numerics as the
+    fused kernel. Measured at L/14@336 B=1024: 257 img/s (all-XLA chunked
+    fallback, which materializes HBM probability tensors) -> see
+    PERF_NOTES for the kernel-core number."""
+    from aiic_tpu.ops.attention import fused_attention_qkv
+
+    bsz, seq, width = x.shape
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+
+    hq, hscale = _row_quant(h.reshape(bsz * seq, width))
+    acc = jax.lax.dot_general(
+        hq, wqkv_q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * hscale * sqkv + bqkv.astype(jnp.float32))
+    qkv = qkv.astype(x.dtype).reshape(bsz, seq, 3 * width)
+
+    attn = fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
+
+    out = jax.lax.dot_general(
+        attn.reshape(bsz * seq, width), wo,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = out.astype(jnp.float32) + bo.astype(jnp.float32)
@@ -483,6 +549,16 @@ def int8_ln_qkv_attention(
                                          x.dtype.itemsize) > _VMEM_BUDGET:
         group //= 2
     if _attn_vmem_bytes(group, seq, width, x.dtype.itemsize) > _VMEM_BUDGET:
+        from aiic_tpu.ops.attention import qkv_core_fits
+
+        # Prefer XLA-int8-projections + Pallas attention core when the core
+        # alone fits VMEM at G=1; otherwise the fully-XLA chunked fallback
+        # (ViT-L/14@336's S=577/W=1024 core measures 17.93 MB > the 16 MB
+        # scoped ceiling even at G=1, so it takes the XLA path).
+        if qkv_core_fits(seq, width, x.dtype.itemsize):
+            return _int8_attn_large_s(
+                x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo,
+                full_mask, heads=heads, eps=eps, interpret=interpret)
         return _int8_attn_rows_xla(
             x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo,
             full_mask, heads=heads, dim=dim, scale=scale, eps=eps)

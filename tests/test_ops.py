@@ -972,3 +972,74 @@ def test_encode_image_int8_embed_engages_on_patch_wire_only():
         a = np.asarray(encode_image(params, jnp.asarray(norm), TINY_TEST))
         b = np.asarray(encode_image(params_q, jnp.asarray(norm), TINY_TEST))
         np.testing.assert_array_equal(a, b)
+
+
+def test_int8_attn_xla_fallback_chunked_matches_unchunked(monkeypatch):
+    """The batch-chunked XLA fallback (large-S geometries whose probability
+    tensor would OOM HBM, e.g. ViT-L/14@336 at B=1024) is bit-identical to
+    the unchunked form — lax.map chunks a per-image computation."""
+    from aiic_tpu.ops import quant
+
+    rng = np.random.default_rng(8)
+    bsz, seq, width, heads = 8, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((bsz, seq, width)).astype(np.float32))
+    w = rng.standard_normal((width, 3 * width)).astype(np.float32) * 0.05
+    wq, sq = quant.quantize_weight(jnp.asarray(w))
+    kw = dict(
+        ln_scale=jnp.ones((1, width)), ln_bias=jnp.zeros((1, width)),
+        wqkv_q=wq, sqkv=jnp.asarray(sq).reshape(1, -1),
+        bqkv=jnp.zeros((1, 3 * width)),
+        wo=jnp.asarray(rng.standard_normal((width, width)).astype(np.float32) * 0.05),
+        bo=jnp.zeros((1, width)), mask=jnp.zeros((seq, seq), jnp.float32),
+        heads=heads, dim=width // heads, scale=(width // heads) ** -0.5,
+        eps=1e-5,
+    )
+    whole = np.asarray(quant._int8_attn_rows_xla(x, **kw))
+    monkeypatch.setattr(quant, "_FALLBACK_PROBS_BUDGET",
+                        heads * seq * seq * 4 * 2)  # force chunk=2
+    chunked = np.asarray(quant._int8_attn_rows_xla(x, **kw))
+    # same per-image math; tolerance covers backend matmul-blocking
+    # differences across batch shapes (CPU oneDNN), not algorithmic drift
+    np.testing.assert_allclose(whole, chunked, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_attn_large_s_path_matches_xla_fallback():
+    """The large-S overflow path (XLA int8 projections + Pallas packed-qkv
+    core — selected when the half-block kernel exceeds VMEM, e.g.
+    ViT-L/14@336) matches the pure-XLA fallback numerics."""
+    from aiic_tpu.ops.quant import (
+        _int8_attn_large_s, _int8_attn_rows_xla, quantize_weight,
+    )
+
+    rng = np.random.default_rng(9)
+    b, s, heads, dim = 2, 16, 4, 8
+    w = heads * dim
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32) * 0.2)
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    wo = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    wqkv_q, sqkv = quantize_weight(wqkv)
+    kw = dict(
+        ln_scale=jnp.ones((1, w)), ln_bias=jnp.zeros((1, w)),
+        wqkv_q=wqkv_q, sqkv=sqkv.reshape(1, 3 * w),
+        bqkv=jnp.zeros((1, 3 * w)), wo=wo.astype(x.dtype),
+        bo=jnp.zeros((1, w)), mask=jnp.zeros((s, s), jnp.float32),
+        heads=heads,
+    )
+    large = _int8_attn_large_s(x, **kw, eps=1e-5, interpret=True)
+    fall = _int8_attn_rows_xla(x, **kw, dim=dim, scale=dim ** -0.5, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(large), np.asarray(fall),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_qkv_vmem_gate_calibration():
+    """The packed-qkv core's VMEM estimator: ViT-B / text / L/14 geometries
+    fit at the measured G=2, and ViT-L/14@336 (S=577, W=1024 — Mosaic
+    reports 17.93 MB actual at G=1 vs the 16 MB scoped ceiling) must NOT
+    fit even at G=1, so the int8 overflow path routes it to the chunked
+    XLA fallback instead of a failing kernel compile."""
+    from aiic_tpu.ops.attention import qkv_core_fits
+
+    assert qkv_core_fits(197, 768, 2, group=2)    # ViT-B/16 vision
+    assert qkv_core_fits(77, 512, 2, group=2)     # text tower
+    assert qkv_core_fits(257, 1024, 2, group=2)   # ViT-L/14 vision
+    assert not qkv_core_fits(577, 1024, 2, group=1)  # ViT-L/14@336

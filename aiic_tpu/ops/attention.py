@@ -450,6 +450,116 @@ def fused_attention_qkv(
 # ---------------------------------------------------------------------------
 
 
+def headmajor_perm(width: int, heads: int) -> "np.ndarray":
+    """Column permutation turning the packed [Q | K | V] QKV layout into
+    HEAD-MAJOR [q_h0 | k_h0 | v_h0 | q_h1 | ...] (3*dim per head).
+
+    Applied to the QKV *weight* columns (plus its scales/bias) at trace
+    time — a constant gather on an (W, 3W) tensor, free at runtime — so the
+    projection matmul emits head-major activations directly. Head-major
+    layout makes a HEAD GROUP a contiguous lane window, which lets
+    ``fused_attention_qkv_headgroups`` grid over (image, head-group) and
+    fit large-S geometries (ViT-L/14@336: S=577) in scoped VMEM where the
+    all-heads tile cannot."""
+    import numpy as np
+
+    d = width // heads
+    idx = []
+    for h in range(heads):
+        idx.extend(range(h * d, (h + 1) * d))
+        idx.extend(range(width + h * d, width + (h + 1) * d))
+        idx.extend(range(2 * width + h * d, 2 * width + (h + 1) * d))
+    return np.asarray(idx, np.int32)
+
+
+def _attention_qkv_hg_kernel(qkv_ref, mask_ref, o_ref, *, head_group: int,
+                             dim: int, scale: float, group: int):
+    """Head-grouped variant of ``_attention_qkv_kernel``: the tile is a
+    HEAD-MAJOR (S, head_group*3*dim) lane window; outputs the standard
+    head-concat (S, head_group*dim) slice."""
+    mask = mask_ref[:] * jnp.float32(LOG2E)
+    for g in range(group):
+        tile = qkv_ref[g]
+        outs = []
+        for j in range(head_group):
+            base = j * 3 * dim
+            q = tile[:, base:base + dim]
+            k = tile[:, base + dim:base + 2 * dim]
+            v = tile[:, base + 2 * dim:base + 3 * dim]
+            q = q * jnp.asarray(scale * LOG2E, q.dtype)
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_prec(q.dtype),
+            )
+            p = exp2_rows(s + mask)
+            denom = _denom_guard(jnp.sum(p, axis=-1, keepdims=True))
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                        precision=_mm_prec(v.dtype))
+            outs.append((o * (1.0 / denom)).astype(o_ref.dtype))
+        o_ref[g] = jnp.concatenate(outs, axis=-1)
+
+
+def pick_head_group(seq: int, heads: int, dim: int, itemsize: int):
+    """Largest head group whose per-program working set fits the core VMEM
+    budget (None if even one head does not fit)."""
+    hg = heads
+    while hg >= 1:
+        if heads % hg == 0 and qkv_core_vmem_bytes(1, seq, hg * dim, itemsize) <= _CORE_VMEM_BUDGET:
+            return hg
+        hg //= 2
+    return None
+
+
+def fused_attention_qkv_headgroups(
+    qkv_hm: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    heads: int,
+    head_group: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """HEAD-MAJOR packed qkv (B, S, 3*H*D) -> (B, S, H*D) attention output.
+
+    Input columns are ordered per-head [q_h | k_h | v_h] (see
+    ``headmajor_perm`` — produced for free by permuting the QKV weight
+    columns); output is the standard head-concat the out-projection
+    consumes. Grid is (images, head-groups): each program sees only
+    ``head_group`` heads' lanes, so geometries whose all-heads tile
+    overflows scoped VMEM (ViT-L/14@336's S=577: 17.93 MB) fit — at hg=8
+    the estimate is ~10.5 MB."""
+    bsz, seq, three_w = qkv_hm.shape
+    dim = (three_w // 3) // heads
+    scale = dim ** -0.5
+    assert heads % head_group == 0
+
+    full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_qkv_hg_kernel, head_group=head_group, dim=dim,
+            scale=scale, group=1,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, heads * dim), qkv_hm.dtype),
+        grid=(bsz, heads // head_group),
+        in_specs=[
+            pl.BlockSpec((1, seq, head_group * 3 * dim), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, seq, head_group * dim), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bsz * heads * seq * seq * dim,
+            bytes_accessed=4 * bsz * seq * heads * dim * qkv_hm.dtype.itemsize,
+            transcendentals=bsz * heads * seq * seq,
+        ),
+        interpret=interpret,
+    )(qkv_hm, full_mask)
+    return out
+
+
 def _attention_qkv_xla(qkv: jnp.ndarray, mask: Optional[jnp.ndarray],
                        heads: int) -> jnp.ndarray:
     """THE XLA composition of the attention core: the reference softmax-

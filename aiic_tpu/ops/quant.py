@@ -475,14 +475,33 @@ def _int8_attn_large_s(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo,
     half-block's whole working set exceeds the scoped-VMEM budget (e.g.
     ViT-L/14@336's S=577 — qkv alone is 7.1 MB fp32), the projections run
     as XLA int8 matmuls over (B*S, W) and only the attention CORE runs in
-    Pallas (``fused_attention_qkv``: grid over images, ~10 MB/program at
-    G=1) — the same row-quant + log2-domain no-max softmax numerics as the
-    fused kernel. Measured at L/14@336 B=1024: 257 img/s (all-XLA chunked
-    fallback, which materializes HBM probability tensors) -> see
-    PERF_NOTES for the kernel-core number."""
-    from aiic_tpu.ops.attention import fused_attention_qkv
+    Pallas — the same row-quant + log2-domain no-max softmax numerics as
+    the fused kernel. Core selection: the all-heads packed core
+    (``fused_attention_qkv``) when it fits VMEM; otherwise the HEAD-GROUPED
+    core (``fused_attention_qkv_headgroups``) with the QKV weight columns
+    permuted head-major at trace time (a free constant gather) so the
+    projection emits the head-major layout the grouped kernel lane-blocks.
+    Only if even one head's core cannot fit does the caller take the all-
+    XLA chunked fallback (which materializes HBM probability tensors —
+    measured 257 img/s at L/14@336 B=1024 vs this path's kernel-core
+    number in PERF_NOTES)."""
+    from aiic_tpu.ops.attention import (
+        fused_attention_qkv,
+        fused_attention_qkv_headgroups,
+        headmajor_perm,
+        pick_head_group,
+        qkv_core_fits,
+    )
 
     bsz, seq, width = x.shape
+    dim = width // heads
+    head_major = not qkv_core_fits(seq, width, x.dtype.itemsize)
+    if head_major:
+        perm = jnp.asarray(headmajor_perm(width, heads))
+        wqkv_q = jnp.take(wqkv_q, perm, axis=1)
+        sqkv = jnp.take(sqkv, perm, axis=-1)
+        bqkv = jnp.take(bqkv, perm, axis=-1)
+
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -496,7 +515,12 @@ def _int8_attn_large_s(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo,
     qkv = (acc.astype(jnp.float32) * hscale * sqkv + bqkv.astype(jnp.float32))
     qkv = qkv.astype(x.dtype).reshape(bsz, seq, 3 * width)
 
-    attn = fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
+    if head_major:
+        hg = pick_head_group(seq, heads, dim, x.dtype.itemsize)
+        attn = fused_attention_qkv_headgroups(
+            qkv, mask, heads=heads, head_group=hg, interpret=interpret)
+    else:
+        attn = fused_attention_qkv(qkv, mask, heads=heads, interpret=interpret)
 
     out = jax.lax.dot_general(
         attn.reshape(bsz * seq, width), wo,
@@ -549,13 +573,14 @@ def int8_ln_qkv_attention(
                                          x.dtype.itemsize) > _VMEM_BUDGET:
         group //= 2
     if _attn_vmem_bytes(group, seq, width, x.dtype.itemsize) > _VMEM_BUDGET:
-        from aiic_tpu.ops.attention import qkv_core_fits
+        from aiic_tpu.ops.attention import pick_head_group
 
-        # Prefer XLA-int8-projections + Pallas attention core when the core
-        # alone fits VMEM at G=1; otherwise the fully-XLA chunked fallback
-        # (ViT-L/14@336's S=577/W=1024 core measures 17.93 MB > the 16 MB
-        # scoped ceiling even at G=1, so it takes the XLA path).
-        if qkv_core_fits(seq, width, x.dtype.itemsize):
+        # XLA int8 projections + Pallas attention core (all-heads when it
+        # fits, else head-grouped with a head-major weight permutation —
+        # ViT-L/14@336's all-heads core measures 17.93 MB > the 16 MB
+        # scoped ceiling, its hg=8 grouped core ~10.5 MB). Only when even
+        # one head's core cannot fit: the fully-XLA chunked fallback.
+        if pick_head_group(seq, heads, dim, x.dtype.itemsize) is not None:
             return _int8_attn_large_s(
                 x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wo, bo,
                 full_mask, heads=heads, eps=eps, interpret=interpret)

@@ -1043,3 +1043,60 @@ def test_fused_attention_qkv_vmem_gate_calibration():
     assert qkv_core_fits(77, 512, 2, group=2)     # text tower
     assert qkv_core_fits(257, 1024, 2, group=2)   # ViT-L/14 vision
     assert not qkv_core_fits(577, 1024, 2, group=1)  # ViT-L/14@336
+
+
+def test_headgroup_kernel_matches_allheads_core():
+    """fused_attention_qkv_headgroups on the head-major layout ==
+    fused_attention_qkv on the standard packed layout."""
+    from aiic_tpu.ops.attention import (
+        fused_attention_qkv, fused_attention_qkv_headgroups, headmajor_perm,
+    )
+
+    rng = np.random.default_rng(12)
+    b, s, heads, dim = 2, 16, 4, 8
+    w = heads * dim
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * w)).astype(np.float32))
+    mask = jnp.asarray(rng.standard_normal((s, s)).astype(np.float32)) * 0.1
+
+    want = np.asarray(fused_attention_qkv(qkv, mask, heads=heads, interpret=True))
+    qkv_hm = np.asarray(qkv)[:, :, headmajor_perm(w, heads)]
+    for hg in (1, 2, 4):
+        got = np.asarray(fused_attention_qkv_headgroups(
+            jnp.asarray(qkv_hm), mask, heads=heads, head_group=hg, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5, err_msg=f"hg={hg}")
+
+
+def test_int8_attn_large_s_headmajor_matches_xla_fallback(monkeypatch):
+    """When even the all-heads core exceeds VMEM, the large-S path permutes
+    the QKV weight head-major and runs the head-grouped core — numerics
+    must still match the pure-XLA fallback."""
+    from aiic_tpu.ops import attention as A
+    from aiic_tpu.ops.quant import (
+        _int8_attn_large_s, _int8_attn_rows_xla, quantize_weight,
+    )
+
+    rng = np.random.default_rng(13)
+    b, s, heads, dim = 2, 16, 4, 8
+    w = heads * dim
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32) * 0.2)
+    wqkv = jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32))
+    wo = jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32))
+    wqkv_q, sqkv = quantize_weight(wqkv)
+    kw = dict(
+        ln_scale=jnp.ones((1, w)), ln_bias=jnp.zeros((1, w)),
+        wqkv_q=wqkv_q, sqkv=sqkv.reshape(1, 3 * w),
+        bqkv=jnp.zeros((1, 3 * w)), wo=wo.astype(x.dtype),
+        bo=jnp.zeros((1, w)), mask=jnp.zeros((s, s), jnp.float32),
+        heads=heads,
+    )
+    fall = _int8_attn_rows_xla(x, **kw, dim=dim, scale=dim ** -0.5, eps=1e-5)
+
+    # budget below the all-heads core but above the hg=2 grouped core
+    full = A.qkv_core_vmem_bytes(1, s, w, 4)
+    hg2 = A.qkv_core_vmem_bytes(1, s, 2 * dim, 4)
+    assert hg2 < full
+    monkeypatch.setattr(A, "_CORE_VMEM_BUDGET", (hg2 + full) // 2)
+    assert A.pick_head_group(s, heads, dim, 4) == 2
+    large = _int8_attn_large_s(x, **kw, eps=1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(large), np.asarray(fall),
+                               rtol=2e-5, atol=2e-5)

@@ -130,8 +130,8 @@ def preprocess_jpeg_batch(
     if n == 0:
         return out, np.zeros((0,), bool)
     native_patch = lib is not None and hasattr(lib, "aiic_preprocess_jpeg_batch_v3")
-    if lib is None or (patch and not native_patch):
-        # Python fallback (whole path, or stale .so lacking the patch wire)
+    if lib is None:
+        # Python fallback (no native decoder at all)
         ok = np.zeros((n,), bool)
         for i, blob in enumerate(jpeg_blobs):
             crop = _preprocess_one_python(blob, size, fast)
@@ -143,6 +143,15 @@ def preprocess_jpeg_batch(
                 out[i] = crop
                 ok[i] = True
         return out, ok
+    if patch and not native_patch:
+        # Stale .so without the patch-wire export: keep the threaded native
+        # HWC decode and repack on the Python side (~150 us/img) rather than
+        # dropping to the single-core pure-Python decode loop.
+        hwc, ok = preprocess_jpeg_batch(jpeg_blobs, size, num_threads, fast,
+                                        patch=0)
+        from aiic_tpu.ops.preprocess import to_patch_major
+
+        return to_patch_major(hwc, patch), ok
 
     bufs = [np.frombuffer(b, dtype=np.uint8) for b in jpeg_blobs]
     ptrs = (ctypes.c_char_p * n)(*[b.ctypes.data_as(ctypes.c_char_p) for b in bufs])

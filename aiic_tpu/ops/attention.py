@@ -74,6 +74,26 @@ def qkv_core_fits(seq: int, width: int, itemsize: int, group: int = 1) -> bool:
     with VMEM-overflow fallbacks must check this before selecting the
     kernel (ViT-L/14@336's S=577/W=1024 does NOT fit even at G=1)."""
     return qkv_core_vmem_bytes(group, seq, width, itemsize) <= _CORE_VMEM_BUDGET
+
+
+def ln_attn_vmem_bytes(group: int, seq: int, width: int, itemsize: int) -> int:
+    """Peak-live estimate for one ``fused_ln_qkv_attention`` program — the
+    int8 half-block estimator's terms (ops.quant._attn_vmem_bytes) with the
+    QKV weight at the compute dtype instead of int8. Calibrated the same
+    way: ViT-B/16 bf16 G=2 lands at 13.5 MiB (fits — the shipped config),
+    ViT-L/14 bf16 G=1 at 16.0 MiB and ViT-L/14@336 at 27.5 MiB (both
+    overflow the 16 MB scoped ceiling and take the large-S composition)."""
+    rows = group * seq
+    return (
+        2 * rows * width * itemsize       # x in + out blocks
+        + 3 * width * width * itemsize    # wqkv (compute dtype)
+        + width * width * itemsize        # wo
+        + rows * width * 4                # xf (live until the residual add)
+        + rows * 3 * width * 4            # fp32 QKV projection output
+        + rows * 3 * width * itemsize     # cast qkv
+        + 2 * seq * seq * 4               # mask + one live score matrix
+        + rows * width * 4                # attn concat (fp32)
+    )
 _EXP2_CLAMP = 70.0 * LOG2E
 
 
@@ -193,6 +213,15 @@ def fused_ln_qkv_attention(
     while bsz % group != 0:
         group //= 2
     group = max(group, 1)
+    while group > 1 and ln_attn_vmem_bytes(group, seq, width,
+                                           x.dtype.itemsize) > _CORE_VMEM_BUDGET:
+        group //= 2
+    if ln_attn_vmem_bytes(group, seq, width, x.dtype.itemsize) > _CORE_VMEM_BUDGET:
+        # The whole half-block does not fit scoped VMEM even one image at a
+        # time (ViT-L/14 geometries): same fallback ladder as the int8 path.
+        return _ln_qkv_attention_large_s(
+            x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, full_mask,
+            heads=heads, eps=eps, interpret=interpret)
 
     out = pl.pallas_call(
         functools.partial(
@@ -220,6 +249,57 @@ def fused_ln_qkv_attention(
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, full_mask)
     return out
+
+
+def _ln_qkv_attention_large_s(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                              full_mask, *, heads, eps, interpret):
+    """bf16/fp32 mirror of ops.quant._int8_attn_large_s: XLA LN + QKV
+    matmul, Pallas attention core (all-heads packed when it fits, else
+    head-grouped with the QKV weight columns permuted head-major at trace
+    time — a free constant gather), XLA out projection + residual.
+    Geometries where even one head's core cannot fit run the identical math
+    batch-chunked in XLA (bounded probability tensors). Keeps the
+    non-quantized pallas path compiling at ViT-L/14 geometries, where the
+    fused half-block kernel's working set (16-28 MB) exceeds scoped VMEM."""
+    bsz, seq, width = x.shape
+    dim = width // heads
+
+    hg = None
+    head_major = not qkv_core_fits(seq, width, x.dtype.itemsize)
+    if head_major:
+        hg = pick_head_group(seq, heads, dim, x.dtype.itemsize)
+        if hg is not None:
+            perm = jnp.asarray(headmajor_perm(width, heads))
+            wqkv = jnp.take(wqkv, perm, axis=1)
+            bqkv = jnp.take(bqkv, perm, axis=-1)
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps)
+    h = h * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = h.astype(x.dtype)
+
+    qkv = jnp.dot(h.reshape(bsz * seq, width), wqkv,
+                  preferred_element_type=jnp.float32,
+                  precision=_mm_prec(h.dtype))
+    qkv = (qkv + bqkv.astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(bsz, seq, 3 * width)
+
+    if not head_major:
+        attn = fused_attention_qkv(qkv, full_mask, heads=heads,
+                                   interpret=interpret)
+    elif hg is not None:
+        attn = fused_attention_qkv_headgroups(
+            qkv, full_mask, heads=heads, head_group=hg, interpret=interpret)
+    else:
+        attn = _attention_qkv_xla_chunked(qkv, full_mask, heads)
+
+    out = jnp.dot(attn.reshape(bsz * seq, width), wo,
+                  preferred_element_type=jnp.float32,
+                  precision=_mm_prec(x.dtype))
+    out = out.astype(jnp.float32) + bo.astype(jnp.float32)
+    return (xf + out.reshape(bsz, seq, width)).astype(x.dtype)
 
 
 def resolve_attn_impl(impl: str) -> str:
@@ -419,6 +499,14 @@ def fused_attention_qkv(
     while group > 1 and not qkv_core_fits(seq, heads * dim,
                                           qkv.dtype.itemsize, group):
         group //= 2
+    if not qkv_core_fits(seq, heads * dim, qkv.dtype.itemsize, group):
+        # Even one image overflows scoped VMEM (ViT-L/14@336's all-heads
+        # tile is 17.93 MB). The packed [Q|K|V] columns cannot lane-block a
+        # head group without a runtime gather, so overflow geometries run
+        # the batch-chunked XLA core; callers that control the QKV weights
+        # (the large-S half-block paths) permute them head-major and use
+        # fused_attention_qkv_headgroups instead.
+        return _attention_qkv_xla_chunked(qkv, mask, heads)
 
     full_mask = jnp.zeros((seq, seq), jnp.float32) if mask is None else mask.astype(jnp.float32)
 
@@ -558,6 +646,32 @@ def fused_attention_qkv_headgroups(
         interpret=interpret,
     )(qkv_hm, full_mask)
     return out
+
+
+# HBM budget for the chunked XLA core's materialized (chunk, H, S, S) fp32
+# probability tensor (mirrors ops.quant._FALLBACK_PROBS_BUDGET): an
+# unchunked ViT-L/14@336 batch of 1024 would allocate 24.5 GB and OOM.
+_FALLBACK_PROBS_BUDGET = 1 << 30
+
+
+def _attention_qkv_xla_chunked(qkv: jnp.ndarray, mask: Optional[jnp.ndarray],
+                               heads: int) -> jnp.ndarray:
+    """Batch-chunked :func:`_attention_qkv_xla` for geometries where no
+    Pallas core fits scoped VMEM: identical per-image math, with the batch
+    run in lax.map chunks sized so the fp32 probability tensor stays under
+    _FALLBACK_PROBS_BUDGET."""
+    bsz, seq, w3 = qkv.shape
+    per_img = heads * seq * seq * 4
+    chunk = max(1, min(bsz, _FALLBACK_PROBS_BUDGET // per_img))
+    while bsz % chunk:
+        chunk -= 1
+    if chunk == bsz:
+        return _attention_qkv_xla(qkv, mask, heads)
+    out = jax.lax.map(
+        lambda q: _attention_qkv_xla(q, mask, heads),
+        qkv.reshape(bsz // chunk, chunk, seq, w3),
+    )
+    return out.reshape(bsz, seq, w3 // 3)
 
 
 def _attention_qkv_xla(qkv: jnp.ndarray, mask: Optional[jnp.ndarray],

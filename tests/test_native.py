@@ -250,3 +250,28 @@ def test_prefetching_loader_patch_wire(ref_root):
         assert pixels.shape == (end - start, 196, 768)
         assert ok.all()
         np.testing.assert_array_equal(pixels, to_patch_major(hwc_batches[start], 16))
+
+def test_patch_wire_stale_so_keeps_native_decode(monkeypatch):
+    """A stale .so without the v3 patch-wire export must keep the threaded
+    native HWC decode and repack in Python — bit-identical to the native
+    patch-major emission — not drop to the single-core pure-Python loop."""
+    from aiic_tpu.data import native_loader
+
+    real = native_loader._build_and_load()
+    blob = _synth_jpeg(640, 480)
+    want, ok = native_loader.preprocess_jpeg_batch([blob], 224, patch=16)
+    assert ok.all()
+
+    class StaleLib:
+        """Proxy hiding the v3 export (pre-patch-wire build)."""
+
+        def __getattr__(self, name):
+            if name == "aiic_preprocess_jpeg_batch_v3":
+                raise AttributeError(name)
+            return getattr(real, name)
+
+    monkeypatch.setattr(native_loader, "_build_and_load", lambda: StaleLib())
+    got, ok2 = native_loader.preprocess_jpeg_batch([blob], 224, patch=16)
+    assert ok2.all()
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (1, 196, 768)

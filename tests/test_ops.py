@@ -1100,3 +1100,79 @@ def test_int8_attn_large_s_headmajor_matches_xla_fallback(monkeypatch):
     large = _int8_attn_large_s(x, **kw, eps=1e-5, interpret=True)
     np.testing.assert_allclose(np.asarray(large), np.asarray(fall),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_half_block_vmem_gate_calibration():
+    """The bf16 half-block estimator (ops.attention.ln_attn_vmem_bytes):
+    every shipped kernel geometry keeps its measured grouping, and the
+    ViT-L/14 geometries — whose compute-dtype QKV weight alone is 6.3 MB —
+    route to the large-S composition instead of a failing Mosaic compile."""
+    from aiic_tpu.ops import attention as A
+
+    assert A.ln_attn_vmem_bytes(2, 197, 768, 2) <= A._CORE_VMEM_BUDGET  # B/16 G2
+    assert A.ln_attn_vmem_bytes(2, 77, 512, 2) <= A._CORE_VMEM_BUDGET   # text G2
+    assert A.ln_attn_vmem_bytes(2, 50, 768, 2) <= A._CORE_VMEM_BUDGET   # B/32 G2
+    assert A.ln_attn_vmem_bytes(1, 257, 1024, 2) > A._CORE_VMEM_BUDGET  # L/14
+    assert A.ln_attn_vmem_bytes(1, 577, 1024, 2) > A._CORE_VMEM_BUDGET  # L/14@336
+
+
+def test_bf16_half_block_large_s_ladder_matches_kernel(monkeypatch):
+    """fused_ln_qkv_attention's large-S fallback ladder (XLA LN/proj +
+    all-heads core / head-grouped core / batch-chunked XLA core) matches the
+    fused kernel's numerics at every tier, forced via the budget knob."""
+    from aiic_tpu.ops import attention as A
+
+    rng = np.random.default_rng(21)
+    b, s, heads, dim = 2, 16, 4, 8
+    w = heads * dim
+    x = jnp.asarray(rng.standard_normal((b, s, w)).astype(np.float32) * 0.2)
+    args = (
+        x,
+        jnp.asarray(rng.standard_normal((w,)).astype(np.float32) * 0.1 + 1.0),
+        jnp.asarray(rng.standard_normal((w,)).astype(np.float32) * 0.1),
+        jnp.asarray((rng.standard_normal((w, 3 * w)) * 0.1).astype(np.float32)),
+        jnp.asarray((rng.standard_normal((3 * w,)) * 0.1).astype(np.float32)),
+        jnp.asarray((rng.standard_normal((w, w)) * 0.1).astype(np.float32)),
+        jnp.asarray((rng.standard_normal((w,)) * 0.1).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((s, s)).astype(np.float32) * 0.1),
+    )
+    want = np.asarray(
+        A.fused_ln_qkv_attention(*args, heads=heads, interpret=True))
+
+    half = A.ln_attn_vmem_bytes(1, s, w, 4)
+    full_core = A.qkv_core_vmem_bytes(1, s, w, 4)
+    hg2_core = A.qkv_core_vmem_bytes(1, s, 2 * dim, 4)
+    hg1_core = A.qkv_core_vmem_bytes(1, s, dim, 4)
+    assert hg1_core < hg2_core < full_core < half
+
+    tiers = {
+        "all-heads core": (full_core + half) // 2,
+        "head-grouped core": (hg2_core + full_core) // 2,
+        "chunked-XLA core": hg1_core - 1,
+    }
+    for name, budget in tiers.items():
+        monkeypatch.setattr(A, "_CORE_VMEM_BUDGET", budget)
+        got = np.asarray(
+            A.fused_ln_qkv_attention(*args, heads=heads, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5,
+                                   err_msg=name)
+
+
+def test_fused_attention_qkv_overflow_falls_back_to_chunked_xla(monkeypatch):
+    """fused_attention_qkv on a geometry where no core grouping fits must
+    return the batch-chunked XLA core's numerics instead of compiling an
+    overflowing kernel."""
+    from aiic_tpu.ops import attention as A
+
+    rng = np.random.default_rng(22)
+    b, s, heads, dim = 4, 16, 4, 8
+    w = heads * dim
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * w)).astype(np.float32))
+    mask = jnp.asarray(rng.standard_normal((s, s)).astype(np.float32)) * 0.1
+
+    want = np.asarray(A._attention_qkv_xla(qkv, mask, heads))
+    monkeypatch.setattr(A, "_CORE_VMEM_BUDGET", 1)
+    # force multiple lax.map chunks too
+    monkeypatch.setattr(A, "_FALLBACK_PROBS_BUDGET", heads * s * s * 4 * 2)
+    got = np.asarray(A.fused_attention_qkv(qkv, mask, heads=heads, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -37,13 +37,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from aiic_tpu.data.preprocess import CLIP_MEAN, CLIP_STD
     from aiic_tpu.engine.programs import analyze_topk, detect_logits
     from aiic_tpu.models import VIT_B_16, init_clip_params
     from aiic_tpu.models.clip import (
         layer_norm, normalize_features, patchify, run_tower,
     )
-    from aiic_tpu.ops.preprocess import normalize_u8
+    from aiic_tpu.ops.preprocess import (
+        normalize_u8, patch_norm_constants, quantize_patch_embed,
+        to_patch_major,
+    )
     from aiic_tpu.ops.quant import quantize_model
 
     config = VIT_B_16
@@ -52,7 +54,6 @@ def main():
     inner = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     dtype = jnp.bfloat16
     p = config.patch_size
-    n_patch = (config.image_size // p) ** 2
 
     params = init_clip_params(jax.random.PRNGKey(0), config)
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
@@ -62,14 +63,9 @@ def main():
     rng = np.random.default_rng(0)
     pixels_np = rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
     pixels = jnp.asarray(pixels_np)
-    # host repack to patch-major, channel-major within a patch (matches
+    # host repack to patch-major via the shipped library repack (matches
     # patchify()'s flatten order / torch Conv2d (out, C, kh, kw) layout)
-    g = config.image_size // p
-    patches_np = (
-        pixels_np.reshape(batch, g, p, g, p, 3)
-        .transpose(0, 1, 3, 5, 2, 4)
-        .reshape(batch, n_patch, 3 * p * p)
-    )
+    patches_np = to_patch_major(pixels_np, p)
     patches = jnp.asarray(patches_np)
 
     det_text = rng.standard_normal((40, config.embed_dim)).astype(np.float32)
@@ -78,12 +74,10 @@ def main():
     cat_text = jnp.asarray(rng.standard_normal((5, 304, config.embed_dim)).astype(np.float32))
     cat_mask = jnp.asarray(np.ones((5, 304), bool))
 
-    # folded constants (channel c = k // p^2 in the channel-major layout)
-    chan = np.arange(3 * p * p) // (p * p)
-    s_np = (1.0 / (np.asarray(CLIP_STD) * 255.0))[chan].astype(np.float32)
-    m_np = (np.asarray(CLIP_MEAN) * 255.0)[chan].astype(np.float32)
+    # folded constants from the shipped library fold
+    s_np, ms_np = patch_norm_constants(p)
     s_vec = jnp.asarray(s_np)
-    ms_vec = jnp.asarray(m_np * s_np)
+    ms_vec = jnp.asarray(ms_np)
 
     def embed_current(px_u8, xor):
         x = patchify(normalize_u8(jnp.bitwise_xor(px_u8, xor)).astype(dtype), p)
@@ -108,14 +102,8 @@ def main():
     #   y = x_s8 @ W'_q * wsc + c2,  W' = s[:,None]*W,  c2 = ((128-255m)*s)@W
     # int8 x int8 MACs run at 2x the bf16 rate on v5e and the uint8->bf16
     # convert pass over (B, N, 3p^2) disappears.
-    w_fp = np.asarray(v["patch_embed"].astype(jnp.float32))
-    w_folded = w_fp * s_np[:, None]
-    wsc_np = np.abs(w_folded).max(axis=0) / 127.0
-    wq_np = np.clip(np.round(w_folded / wsc_np), -127, 127).astype(np.int8)
-    c2_np = ((128.0 - m_np) * s_np) @ w_fp
-    wq = jnp.asarray(wq_np)
-    wsc = jnp.asarray(wsc_np.astype(np.float32))
-    c2 = jnp.asarray(c2_np.astype(np.float32))
+    q = quantize_patch_embed(v["patch_embed"])
+    wq, wsc, c2 = q["wq"], q["wsc"], q["c2"]
 
     def embed_patchmajor_int8(pm_u8, xor):
         xs8 = jax.lax.bitcast_convert_type(
@@ -198,9 +186,7 @@ def main():
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        (pixels_np.reshape(batch, g, p, g, p, 3)
-         .transpose(0, 1, 3, 5, 2, 4)
-         .reshape(batch, n_patch, 3 * p * p))
+        to_patch_major(pixels_np, p)
     dt = (time.perf_counter() - t0) / reps
     print(f"host repack (numpy, 1 core): {dt / batch * 1e6:.0f} us/img "
           f"({batch / dt:.0f} img/s/core)", flush=True)

@@ -160,3 +160,37 @@ def test_remat_matches_no_remat(params):
     a = run_tower(x, params["text"]["blocks"], CFG.text.heads, mask, CFG.gelu_type)
     b = run_tower(x, params["text"]["blocks"], CFG.text.heads, mask, CFG.gelu_type, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cls_last_block_is_exact(params, monkeypatch):
+    """The CLS-row specialization of the final image block (block_cls) is an
+    exact restriction of the uniform scan: the pooled output depends only on
+    the last block's CLS row, so enabling it must reproduce the full-tower
+    features to float tolerance on the fp32 XLA path."""
+    px = jax.random.uniform(
+        jax.random.PRNGKey(3), (2, CFG.image_size, CFG.image_size, 3))
+    monkeypatch.setenv("AIIC_CLS_LAST", "0")
+    full = np.asarray(encode_image(params, px, CFG))
+    monkeypatch.setenv("AIIC_CLS_LAST", "1")
+    fast = np.asarray(encode_image(params, px, CFG))
+    np.testing.assert_allclose(fast, full, rtol=2e-5, atol=2e-5)
+
+
+def test_cls_last_block_pallas_serving_path(params, monkeypatch):
+    """CLS-last under the serving kernel config (bf16 + pallas, interpret):
+    the first N-1 blocks run the fused kernels, the last block runs the
+    bf16 block_cls — output must track the uniform fp32 tower within bf16
+    tolerance."""
+    px = jax.random.uniform(
+        jax.random.PRNGKey(4), (2, CFG.image_size, CFG.image_size, 3))
+    monkeypatch.setenv("AIIC_CLS_LAST", "0")
+    ref = np.asarray(encode_image(params, px, CFG))
+    monkeypatch.setenv("AIIC_CLS_LAST", "1")
+    p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    got = np.asarray(
+        encode_image(p16, px.astype(jnp.bfloat16), CFG,
+                     dtype=jnp.bfloat16, attn_impl="pallas")
+    ).astype(np.float32)
+    cos = (ref * got).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
+    assert cos.min() > 0.999

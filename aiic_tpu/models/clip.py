@@ -244,9 +244,9 @@ def block(
         attn_impl = "block_fused"  # fall through to the bf16 kernel gate
 
     if attn_impl == "block_fused":
-        from aiic_tpu.ops.block_grad import text_block_fits
+        from aiic_tpu.ops.block_grad import text_block_supported
 
-        _fits = text_block_fits(
+        _fits = text_block_supported(
             x.shape[1], x.shape[2], p["mlp"]["w1"].shape[-1], heads,
             x.dtype.itemsize)
     if (

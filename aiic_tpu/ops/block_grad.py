@@ -72,12 +72,71 @@ def _text_block_vmem_bytes(group: int, seq: int, width: int, mlp_dim: int,
 
 def text_block_fits(seq: int, width: int, mlp_dim: int, heads: int,
                     itemsize: int = 2) -> bool:
-    """True when the whole-block kernel pair fits scoped VMEM at G>=1 for
-    this geometry. Callers (train.trainer's ``block_fused`` gate) use this to
-    fall back to the autodiff path instead of hitting an opaque Mosaic
-    allocation failure mid-compile."""
+    """True when the UNCHUNKED whole-block kernel pair fits scoped VMEM at
+    G>=1 for this geometry (all weights + the full MLP hidden axis resident).
+    Wider towers may still run the kernel pair via hidden-axis chunking —
+    see ``text_block_plan`` / ``text_block_supported``."""
     return _text_block_vmem_bytes(1, seq, width, mlp_dim, heads,
                                   itemsize) <= _BLOCK_VMEM_BUDGET
+
+
+def _text_block_chunk_vmem_bytes(group: int, seq: int, width: int,
+                                 mlp_dim: int, heads: int, n_chunks: int,
+                                 itemsize: int) -> int:
+    """Peak-live estimate for the hidden-axis-CHUNKED backward kernel: only
+    one (W, M/C)+(M/C, W) weight-chunk pair streams per grid step (double-
+    buffered); the attention-half stashes and the chunk-loop accumulators
+    persist in scratch. LoRA factors/accumulators are bounded by a fixed
+    r<=64 allowance plus a 1 MB slop term."""
+    rows = group * seq
+    chunk = mlp_dim // n_chunks
+    return (
+        4 * width * width * itemsize           # wqkv + wo resident
+        + 2 * 2 * width * chunk * itemsize     # streamed W1/W2 pair, x2 buffers
+        + 2 * 3 * rows * width * itemsize      # x + dy in (buffered) + dx out
+        + seq * seq * 4                        # mask
+        + rows * 3 * width * itemsize          # qkv stash
+        + group * heads * seq * seq * 4        # per-head probabilities stash
+        + 2 * rows * width * itemsize          # a + h2 stashes (compute dtype)
+        + 2 * rows * width * 4                 # xhat2 + dh2 fp32
+        + 5 * rows * chunk * 4                 # f/sig/u/du/dfq transients
+        + 2 * 64 * mlp_dim * 4                 # dafB/dapA full fp32 outputs
+        + (1 << 20)                            # lora factors + small stashes
+    )
+
+
+def text_block_plan(seq: int, width: int, mlp_dim: int, heads: int,
+                    itemsize: int = 2, bsz: int | None = None):
+    """(group, n_chunks) blocking for the whole-block kernel pair, or None
+    when no blocking fits scoped VMEM.
+
+    Preference order: largest image group first (G=2 halves the streamed-
+    weight traffic per row — the dominant cost of chunking — and amortizes
+    the seq->sublane padding), then the unchunked form, then the smallest
+    chunk count. The total streamed bytes per group are C-independent, so
+    any C that fits at G=2 beats every G=1 blocking."""
+    for g in (2, 1):
+        if bsz is not None and bsz % g:
+            continue
+        if _text_block_vmem_bytes(g, seq, width, mlp_dim, heads,
+                                  itemsize) <= _BLOCK_VMEM_BUDGET:
+            return (g, 1)
+        c = 2
+        while mlp_dim % c == 0 and mlp_dim // c >= 128:
+            if _text_block_chunk_vmem_bytes(g, seq, width, mlp_dim, heads,
+                                            c, itemsize) <= _BLOCK_VMEM_BUDGET:
+                return (g, c)
+            c *= 2
+    return None
+
+
+def text_block_supported(seq: int, width: int, mlp_dim: int, heads: int,
+                         itemsize: int = 2) -> bool:
+    """True when SOME whole-block blocking (unchunked or hidden-axis-chunked)
+    fits this geometry — the trainer's ``block_fused`` gate. ViT-B/16-class
+    text towers (W=512) take the unchunked kernels; L/14-class towers
+    (W=768, M=3072) stream the MLP hidden axis in chunks."""
+    return text_block_plan(seq, width, mlp_dim, heads, itemsize) is not None
 
 
 def _pick_group(bsz: int, seq: int, width: int, mlp_dim: int, heads: int,
@@ -311,6 +370,243 @@ def _text_block_fwd_kernel(
         y_ref[gidx] = (y1 + mo).astype(y_ref.dtype)
 
 
+def _text_block_fwd_chunk_kernel(
+    x_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1c_ref, b1c_ref, w2c_ref, b2_ref,
+    aoA_ref, aoB_ref, afA_ref, afBc_ref, apAc_ref, apB_ref,
+    y_ref,
+    acc_ref, h2_ref, h2af_ref, uap_ref,
+    *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+    n_chunks: int,
+):
+    """Hidden-axis-chunked whole-block FORWARD: grid (batch groups, chunks).
+    Wide text towers (e.g. ViT-L/14's W=768/M=3072, whose resident weights
+    alone exceed scoped VMEM) stream one (W, M/C)+(M/C, W) weight-chunk pair
+    per grid step — the serving int8 MLP's technique (ops/quant.
+    _int8_mlp_chunk_kernel) applied to the training block kernels. Chunk 0
+    runs the attention half and LN2 once, stashing y1 (the output
+    accumulator seed) and h2; every chunk adds its gelu(h2 W1_c) W2_c
+    partial. The math is the unchunked kernel's line-for-line: the MLP
+    contractions split only the hidden axis, so f/u values are bit-identical
+    and the c_proj accumulation differs only in fp32 summation order."""
+    width = heads * dim
+    prec = _mm_prec(x_ref.dtype)
+    cdt = x_ref.dtype
+    group, seq, _ = x_ref.shape
+    rows = group * seq
+    c = pl.program_id(1)
+
+    def dot(a, b, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(c == 0)
+    def _stage_attention_half():
+        mask = mask_ref[:] * jnp.float32(LOG2E)
+        ln1s = ln1s_ref[:].astype(jnp.float32)
+        ln1b = ln1b_ref[:].astype(jnp.float32)
+        ln2s = ln2s_ref[:].astype(jnp.float32)
+        ln2b = ln2b_ref[:].astype(jnp.float32)
+        for gidx in range(group):
+            xf = x_ref[gidx].astype(jnp.float32)
+            h1f, _, _ = _ln_fwd(xf, ln1s, ln1b, eps)
+            h1 = h1f.astype(cdt)
+            qkv = dot(h1, wqkv_ref[:], ((1,), (0,))) + bqkv_ref[:].astype(jnp.float32)
+            qkv = qkv.astype(cdt)
+            outs = []
+            for hd in range(heads):
+                q = qkv[:, hd * dim:(hd + 1) * dim]
+                k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+                v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+                qs = q * jnp.asarray(scale * LOG2E, cdt)
+                s = dot(qs, k, ((1,), (1,)))
+                p = exp2_rows(s + mask)
+                p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
+                outs.append(dot(p, v, ((1,), (0,))).astype(cdt))
+            a = jnp.concatenate(outs, axis=-1)
+            a_ao = dot(a, aoA_ref[:], ((1,), (0,)))
+            ao = (dot(a, wo_ref[:], ((1,), (0,)))
+                  + bo_ref[:].astype(jnp.float32)
+                  + scaling * dot(a_ao, aoB_ref[:], ((1,), (0,))))
+            y1 = xf + ao
+            h2f, _, _ = _ln_fwd(y1, ln2s, ln2b, eps)
+            acc_ref[gidx * seq:(gidx + 1) * seq] = y1
+            h2_ref[gidx * seq:(gidx + 1) * seq] = h2f.astype(cdt)
+        h2af_ref[:] = dot(h2_ref[:], afA_ref[:], ((1,), (0,)))
+        uap_ref[:] = jnp.zeros_like(uap_ref)
+
+    h2 = h2_ref[:]
+    f = (dot(h2, w1c_ref[:], ((1,), (0,)))
+         + b1c_ref[:].astype(jnp.float32)
+         + scaling * dot(h2af_ref[:], afBc_ref[:], ((1,), (0,))))
+    u, _sig = _qgelu_fwd(f)
+    u_c = u.astype(cdt)
+    acc_ref[:] += dot(u_c, w2c_ref[:], ((1,), (0,)))
+    uap_ref[:] += dot(u_c, apAc_ref[:], ((1,), (0,)))
+
+    @pl.when(c == n_chunks - 1)
+    def _emit():
+        y = (acc_ref[:] + b2_ref[:].astype(jnp.float32)
+             + scaling * dot(uap_ref[:], apB_ref[:], ((1,), (0,))))
+        y_ref[:] = y.reshape(group, seq, width).astype(y_ref.dtype)
+
+
+def _text_block_bwd_chunk_kernel(
+    x_ref, dy_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1c_ref, b1c_ref, w2c_ref,
+    aoA_ref, aoB_ref, afA_ref, afBc_ref, apAc_ref, apB_ref,
+    dx_ref, daoA_ref, daoB_ref, dafA_ref, dafB_ref, dapA_ref, dapB_ref,
+    qkv_ref, probs_ref, a_ref, aao_ref, xhat2_ref, inv2_ref,
+    h2_ref, h2af_ref, tp_ref, tf_ref, uap_ref, dh2_ref,
+    *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+    n_chunks: int, chunk: int,
+):
+    """Hidden-axis-chunked whole-block BACKWARD: grid (batch groups, chunks).
+
+    Chunk 0 recomputes the attention half once (qkv / probabilities / a /
+    LN2 stats stashed in scratch) and seeds the chunk-loop accumulators;
+    every chunk recomputes its f/gelu slab, accumulates the backbone dh2
+    partial and the cross-chunk LoRA reductions (t_f, u_ap), and writes its
+    disjoint slice of the chunk-sliced cotangents (dBf columns, dAp rows);
+    the last chunk closes LN2, runs the attention-half backward from the
+    stashes, and emits dx. LoRA cotangents accumulate directly in the
+    fp32 output blocks (constant index map -> consecutive revisiting across
+    the whole grid, the same pattern as the unchunked kernel), zeroed at
+    grid step (0, 0)."""
+    width = heads * dim
+    prec = _mm_prec(x_ref.dtype)
+    cdt = x_ref.dtype
+    group, seq, _ = x_ref.shape
+    rows = group * seq
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+
+    def dot(a, b_, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b_.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(jnp.logical_and(b == 0, c == 0))
+    def _zero_lora_grads():
+        daoA_ref[:] = jnp.zeros_like(daoA_ref)
+        daoB_ref[:] = jnp.zeros_like(daoB_ref)
+        dafA_ref[:] = jnp.zeros_like(dafA_ref)
+        dafB_ref[:] = jnp.zeros_like(dafB_ref)
+        dapA_ref[:] = jnp.zeros_like(dapA_ref)
+        dapB_ref[:] = jnp.zeros_like(dapB_ref)
+
+    dy = dy_ref[:].reshape(rows, width).astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _stage_attention_half():
+        mask = mask_ref[:] * jnp.float32(LOG2E)
+        ln1s = ln1s_ref[:].astype(jnp.float32)
+        ln1b = ln1b_ref[:].astype(jnp.float32)
+        ln2s = ln2s_ref[:].astype(jnp.float32)
+        ln2b = ln2b_ref[:].astype(jnp.float32)
+        for gidx in range(group):
+            xf = x_ref[gidx].astype(jnp.float32)
+            h1f, _, _ = _ln_fwd(xf, ln1s, ln1b, eps)
+            h1 = h1f.astype(cdt)
+            qkv = dot(h1, wqkv_ref[:], ((1,), (0,))) + bqkv_ref[:].astype(jnp.float32)
+            qkv = qkv.astype(cdt)
+            qkv_ref[gidx] = qkv
+            outs = []
+            for hd in range(heads):
+                q = qkv[:, hd * dim:(hd + 1) * dim]
+                k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+                v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+                qs = q * jnp.asarray(scale * LOG2E, cdt)
+                s = dot(qs, k, ((1,), (1,)))
+                p = exp2_rows(s + mask)
+                p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
+                probs_ref[gidx, hd] = p
+                outs.append(dot(p, v, ((1,), (0,))).astype(cdt))
+            a_ref[gidx] = jnp.concatenate(outs, axis=-1)
+        a = a_ref[:].reshape(rows, width)
+        aao_ref[:] = dot(a, aoA_ref[:], ((1,), (0,)))
+        xf = x_ref[:].reshape(rows, width).astype(jnp.float32)
+        ao = (dot(a, wo_ref[:], ((1,), (0,)))
+              + bo_ref[:].astype(jnp.float32)
+              + scaling * dot(aao_ref[:], aoB_ref[:], ((1,), (0,))))
+        y1 = xf + ao
+        h2f, xhat2, inv2 = _ln_fwd(y1, ln2s, ln2b, eps)
+        xhat2_ref[:] = xhat2
+        inv2_ref[:] = inv2
+        h2_ref[:] = h2f.astype(cdt)
+        h2af_ref[:] = dot(h2f.astype(cdt), afA_ref[:], ((1,), (0,)))
+        tp_ref[:] = dot(dy, apB_ref[:], ((1,), (1,)))
+        tf_ref[:] = jnp.zeros_like(tf_ref)
+        uap_ref[:] = jnp.zeros_like(uap_ref)
+        dh2_ref[:] = jnp.zeros_like(dh2_ref)
+
+    # ---- per-chunk MLP backward (f/gelu recomputed per chunk) -------------
+    h2 = h2_ref[:]
+    f = (dot(h2, w1c_ref[:], ((1,), (0,)))
+         + b1c_ref[:].astype(jnp.float32)
+         + scaling * dot(h2af_ref[:], afBc_ref[:], ((1,), (0,))))
+    u, sig = _qgelu_fwd(f)
+    u_c = u.astype(cdt)
+    du = (dot(dy, w2c_ref[:], ((1,), (1,)))
+          + scaling * dot(tp_ref[:], apAc_ref[:], ((1,), (1,))))
+    dfq = du * (sig + 1.702 * f * sig * (1.0 - sig))
+    dh2_ref[:] += dot(dfq, w1c_ref[:], ((1,), (1,)))
+    tf_ref[:] += dot(dfq, afBc_ref[:], ((1,), (1,)))
+    uap_ref[:] += dot(u_c, apAc_ref[:], ((1,), (0,)))
+    dafB_ref[:, pl.dslice(c * chunk, chunk)] += scaling * dot(
+        h2af_ref[:], dfq, ((0,), (0,)))
+    dapA_ref[pl.dslice(c * chunk, chunk), :] += scaling * dot(
+        u_c, tp_ref[:], ((0,), (0,)))
+
+    @pl.when(c == n_chunks - 1)
+    def _close():
+        ln1s = ln1s_ref[:].astype(jnp.float32)
+        ln1b = ln1b_ref[:].astype(jnp.float32)
+        ln2s = ln2s_ref[:].astype(jnp.float32)
+        dh2 = dh2_ref[:] + scaling * dot(tf_ref[:], afA_ref[:], ((1,), (1,)))
+        dafA_ref[:] += scaling * dot(h2, tf_ref[:], ((0,), (0,)))
+        dapB_ref[:] += scaling * dot(uap_ref[:], dy, ((0,), (0,)))
+        dy1 = dy + _ln_bwd(dh2, xhat2_ref[:], inv2_ref[:], ln2s)
+
+        dao = dy1
+        t_o = dot(dao, aoB_ref[:], ((1,), (1,)))
+        da = dot(dao, wo_ref[:], ((1,), (1,))) + scaling * dot(t_o, aoA_ref[:], ((1,), (1,)))
+        a = a_ref[:].reshape(rows, width)
+        daoA_ref[:] += scaling * dot(a, t_o, ((0,), (0,)))
+        daoB_ref[:] += scaling * dot(aao_ref[:], dao, ((0,), (0,)))
+
+        for gidx in range(group):
+            qkv = qkv_ref[gidx]
+            dqs, dks, dvs = [], [], []
+            for hd in range(heads):
+                p = probs_ref[gidx, hd]
+                q = qkv[:, hd * dim:(hd + 1) * dim]
+                k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+                v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+                gh = da[gidx * seq:(gidx + 1) * seq, hd * dim:(hd + 1) * dim]
+                dv = dot(p, gh, ((0,), (0,)))
+                dp = dot(gh, v, ((1,), (1,)))
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                ds = ds * scale
+                dqs.append(dot(ds, k, ((1,), (0,))))
+                dks.append(dot(ds, q, ((0,), (0,))))
+                dvs.append(dv)
+            dqkv = jnp.concatenate(
+                [jnp.concatenate(dqs, axis=-1),
+                 jnp.concatenate(dks, axis=-1),
+                 jnp.concatenate(dvs, axis=-1)], axis=-1)
+            dh1 = dot(dqkv, wqkv_ref[:], ((1,), (1,)))
+            xf = x_ref[gidx].astype(jnp.float32)
+            _, xhat1, inv1 = _ln_fwd(xf, ln1s, ln1b, eps)
+            dx = dy1[gidx * seq:(gidx + 1) * seq] + _ln_bwd(dh1, xhat1, inv1, ln1s)
+            dx_ref[gidx] = dx.astype(dx_ref.dtype)
+
+
 def _weight_operands(bp: Params, lora: Params, cdt):
     def row(v):
         return v.reshape(1, -1)
@@ -342,11 +638,83 @@ def _weight_specs(width: int, mlp: int, r_o: int, r_f: int, r_p: int):
     ]
 
 
+def _resolve_plan(bsz, seq, width, mlp, heads, itemsize, force_plan):
+    """(group, n_chunks) honoring batch divisibility; raises the VMEM-budget
+    ValueError when no blocking fits (callers gate via text_block_supported)."""
+    if force_plan is not None:
+        group, n_chunks = force_plan
+    else:
+        plan = text_block_plan(seq, width, mlp, heads, itemsize, bsz=bsz)
+        if plan is None:
+            raise ValueError(
+                f"text block geometry (S={seq}, W={width}, M={mlp}) exceeds "
+                "the whole-block kernel's VMEM budget even hidden-axis-"
+                "chunked at G=1; use attn_impl='pallas_vjp' or 'xla' "
+                "(train.trainer falls back automatically via "
+                "text_block_supported)")
+        group, n_chunks = plan
+    while bsz % group:
+        group //= 2
+    return max(group, 1), n_chunks
+
+
+def _chunked_weight_operands(bp: Params, lora: Params, cdt, *, with_b2: bool):
+    """Operand list for the chunked kernels: same tensors as
+    _weight_operands, reordered so the streamed W1/b1/W2 (+Bf/Ap) sit in the
+    chunk-indexed spec slots; the backward drops b2 (unused there)."""
+    row = lambda v: v.reshape(1, -1)
+    ops = [
+        row(bp["ln1"]["scale"]).astype(cdt), row(bp["ln1"]["bias"]).astype(cdt),
+        row(bp["ln2"]["scale"]).astype(cdt), row(bp["ln2"]["bias"]).astype(cdt),
+        bp["attn"]["wqkv"].astype(cdt), row(bp["attn"]["bqkv"]).astype(cdt),
+        bp["attn"]["wo"].astype(cdt), row(bp["attn"]["bo"]).astype(cdt),
+        bp["mlp"]["w1"].astype(cdt), row(bp["mlp"]["b1"]).astype(cdt),
+        bp["mlp"]["w2"].astype(cdt),
+    ]
+    if with_b2:
+        ops.append(row(bp["mlp"]["b2"]).astype(cdt))
+    ops += [
+        lora["out_proj"]["A"].astype(cdt), lora["out_proj"]["B"].astype(cdt),
+        lora["c_fc"]["A"].astype(cdt), lora["c_fc"]["B"].astype(cdt),
+        lora["c_proj"]["A"].astype(cdt), lora["c_proj"]["B"].astype(cdt),
+    ]
+    return ops
+
+
+def _chunked_weight_specs(width: int, mlp: int, chunk: int,
+                          r_o: int, r_f: int, r_p: int, *, with_b2: bool):
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, c: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    specs = [
+        const((1, width)), const((1, width)), const((1, width)), const((1, width)),
+        const((width, 3 * width)), const((1, 3 * width)),
+        const((width, width)), const((1, width)),
+        pl.BlockSpec((width, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, width), lambda b, c: (c, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_b2:
+        specs.append(const((1, width)))
+    specs += [
+        const((width, r_o)), const((r_o, width)),
+        const((width, r_f)),
+        pl.BlockSpec((r_f, chunk), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, r_p), lambda b, c: (c, 0), memory_space=pltpu.VMEM),
+        const((r_p, width)),
+    ]
+    return specs
+
+
 def text_block_fwd(
     x: jnp.ndarray, mask: jnp.ndarray, bp: Params, lora: Params, *,
     heads: int, scaling: float, eps: float = 1e-5, interpret: bool = False,
+    force_plan: Tuple[int, int] | None = None,
 ) -> jnp.ndarray:
-    """(B,S,W) -> (B,S,W): the whole text block forward in one program."""
+    """(B,S,W) -> (B,S,W): the whole text block forward in one program.
+
+    Geometries whose resident weights exceed scoped VMEM (W>=768 towers)
+    stream the MLP hidden axis in chunks (_text_block_fwd_chunk_kernel);
+    ``force_plan=(group, n_chunks)`` overrides the planner (tests)."""
     bsz, seq, width = x.shape
     dim = width // heads
     mlp = bp["mlp"]["w1"].shape[-1]
@@ -355,7 +723,44 @@ def text_block_fwd(
     r_p = lora["c_proj"]["A"].shape[-1]
     cdt = x.dtype
 
-    group = _pick_group(bsz, seq, width, mlp, heads, x.dtype.itemsize, want=2)
+    group, n_chunks = _resolve_plan(bsz, seq, width, mlp, heads,
+                                    x.dtype.itemsize, force_plan)
+    if n_chunks > 1:
+        chunk = mlp // n_chunks
+        rows = group * seq
+        return pl.pallas_call(
+            functools.partial(_text_block_fwd_chunk_kernel, heads=heads,
+                              dim=dim, scale=dim ** -0.5, scaling=scaling,
+                              eps=eps, n_chunks=n_chunks),
+            out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+            grid=(bsz // group, n_chunks),
+            in_specs=[
+                pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seq, seq), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                *_chunked_weight_specs(width, mlp, chunk, r_o, r_f, r_p,
+                                       with_b2=True),
+            ],
+            out_specs=pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((rows, width), jnp.float32),   # y1 / output acc
+                pltpu.VMEM((rows, width), cdt),           # h2
+                pltpu.VMEM((rows, r_f), jnp.float32),     # h2 @ Af
+                pltpu.VMEM((rows, r_p), jnp.float32),     # u @ Ap accumulator
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bsz * seq * width * (4 * width + 2 * mlp)
+                + 4 * bsz * heads * seq * seq * dim,
+                bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+                + (bsz // group) * (3 * width * width + 2 * width * mlp)
+                * x.dtype.itemsize,
+                transcendentals=bsz * (heads * seq * seq + seq * mlp),
+            ),
+            interpret=interpret,
+        )(x, mask.astype(jnp.float32),
+          *_chunked_weight_operands(bp, lora, cdt, with_b2=True))
 
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
@@ -382,12 +787,101 @@ def text_block_fwd(
     )(x, mask.astype(jnp.float32), *_weight_operands(bp, lora, cdt))
 
 
+def _text_block_bwd_chunked(
+    x, dy, mask, bp, lora, *, group: int, n_chunks: int, heads: int,
+    dim: int, scaling: float, eps: float, interpret: bool,
+) -> Tuple[jnp.ndarray, Params]:
+    bsz, seq, width = x.shape
+    mlp = bp["mlp"]["w1"].shape[-1]
+    chunk = mlp // n_chunks
+    r_o = lora["out_proj"]["A"].shape[-1]
+    r_f = lora["c_fc"]["A"].shape[-1]
+    r_p = lora["c_proj"]["A"].shape[-1]
+    cdt = x.dtype
+    rows = group * seq
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        jax.ShapeDtypeStruct((width, r_o), jnp.float32),
+        jax.ShapeDtypeStruct((r_o, width), jnp.float32),
+        jax.ShapeDtypeStruct((width, r_f), jnp.float32),
+        jax.ShapeDtypeStruct((r_f, mlp), jnp.float32),
+        jax.ShapeDtypeStruct((mlp, r_p), jnp.float32),
+        jax.ShapeDtypeStruct((r_p, width), jnp.float32),
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, c: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_text_block_bwd_chunk_kernel, heads=heads, dim=dim,
+                          scale=dim ** -0.5, scaling=scaling, eps=eps,
+                          n_chunks=n_chunks, chunk=chunk),
+        out_shape=out_shapes,
+        grid=(bsz // group, n_chunks),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *_chunked_weight_specs(width, mlp, chunk, r_o, r_f, r_p,
+                                   with_b2=False),
+        ],
+        out_specs=(
+            pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((width, r_o)), const((r_o, width)),
+            const((width, r_f)), const((r_f, mlp)),
+            const((mlp, r_p)), const((r_p, width)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group, seq, 3 * width), cdt),          # qkv
+            pltpu.VMEM((group, heads, seq, seq), jnp.float32),  # probabilities
+            pltpu.VMEM((group, seq, width), cdt),              # a
+            pltpu.VMEM((rows, r_o), jnp.float32),              # a @ Ao
+            pltpu.VMEM((rows, width), jnp.float32),            # xhat2
+            pltpu.VMEM((rows, 1), jnp.float32),                # inv2
+            pltpu.VMEM((rows, width), cdt),                    # h2
+            pltpu.VMEM((rows, r_f), jnp.float32),              # h2 @ Af
+            pltpu.VMEM((rows, r_p), jnp.float32),              # dy @ Bp^T
+            pltpu.VMEM((rows, r_f), jnp.float32),              # t_f accumulator
+            pltpu.VMEM((rows, r_p), jnp.float32),              # u @ Ap accumulator
+            pltpu.VMEM((rows, width), jnp.float32),            # dh2 accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * bsz * seq * width * (4 * width + 2 * mlp)
+            + 6 * 2 * bsz * heads * seq * seq * dim,
+            bytes_accessed=4 * bsz * seq * width * x.dtype.itemsize
+            + (bsz // group) * (3 * width * width + 2 * width * mlp)
+            * x.dtype.itemsize,
+            transcendentals=bsz * (heads * seq * seq + 2 * seq * mlp),
+        ),
+        interpret=interpret,
+    )(x, dy.astype(x.dtype), mask.astype(jnp.float32),
+      *_chunked_weight_operands(bp, lora, cdt, with_b2=False))
+    dx = outs[0]
+    z = lora
+    dlora = {
+        "out_proj": {"A": outs[1].astype(z["out_proj"]["A"].dtype),
+                     "B": outs[2].astype(z["out_proj"]["B"].dtype)},
+        "c_fc": {"A": outs[3].astype(z["c_fc"]["A"].dtype),
+                 "B": outs[4].astype(z["c_fc"]["B"].dtype)},
+        "c_proj": {"A": outs[5].astype(z["c_proj"]["A"].dtype),
+                   "B": outs[6].astype(z["c_proj"]["B"].dtype)},
+    }
+    return dx, dlora
+
+
 def text_block_bwd(
     x: jnp.ndarray, dy: jnp.ndarray, mask: jnp.ndarray,
     bp: Params, lora: Params, *,
     heads: int, scaling: float, eps: float = 1e-5, interpret: bool = False,
+    force_plan: Tuple[int, int] | None = None,
 ) -> Tuple[jnp.ndarray, Params]:
-    """(B,S,W) x + output cotangent -> (dx, dlora) for one text block."""
+    """(B,S,W) x + output cotangent -> (dx, dlora) for one text block.
+
+    Wide towers stream the MLP hidden axis (_text_block_bwd_chunk_kernel);
+    ``force_plan=(group, n_chunks)`` overrides the planner (tests)."""
     bsz, seq, width = x.shape
     dim = width // heads
     mlp = bp["mlp"]["w1"].shape[-1]
@@ -396,17 +890,27 @@ def text_block_bwd(
     r_p = lora["c_proj"]["A"].shape[-1]
     cdt = x.dtype
 
+    group, n_chunks = _resolve_plan(bsz, seq, width, mlp, heads,
+                                    x.dtype.itemsize, force_plan)
+    if n_chunks > 1:
+        return _text_block_bwd_chunked(
+            x, dy, mask, bp, lora, group=group, n_chunks=n_chunks,
+            heads=heads, dim=dim, scaling=scaling, eps=eps,
+            interpret=interpret)
+
     # Group images per grid step to amortize per-program overhead (the S=77
     # dots are small); bf16 fits 2 per step under the ~16 MB VMEM budget
     # (weights ~6.3 MB + ~4 MB fp32 intermediates per image). Larger
-    # geometries shrink to whatever fits; impossible ones raise (the trainer
-    # gates on text_block_fits before selecting this kernel).
-    try:
-        want = int(os.environ.get("AIIC_BLOCKBWD_G", "2"))
-    except ValueError:
-        want = 2
-    want = max(want, 1)  # _pick_group halves it down to what fits / divides
-    group = _pick_group(bsz, seq, width, mlp, heads, x.dtype.itemsize, want=want)
+    # geometries shrink to whatever fits (AIIC_BLOCKBWD_G overrides the
+    # preferred group of the unchunked kernel).
+    if force_plan is None:
+        try:
+            want = int(os.environ.get("AIIC_BLOCKBWD_G", str(group)))
+        except ValueError:
+            want = group
+        want = max(want, 1)  # _pick_group halves it to what fits / divides
+        group = _pick_group(bsz, seq, width, mlp, heads, x.dtype.itemsize,
+                            want=want)
 
     out_shapes = (
         jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),

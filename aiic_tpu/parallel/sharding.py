@@ -50,14 +50,19 @@ def _tower_block_pspecs() -> Params:
     }
 
 
-def param_pspecs(params: Params, *, replicate_visual: bool = False) -> Params:
+def param_pspecs(params: Params, *, replicate_visual: bool = False,
+                 replicate_text: bool = False) -> Params:
     """PartitionSpec tree matching a CLIP param tree.
 
     ``replicate_visual``: keep the whole image tower replicated instead of
     TP-sharded. Used when the frozen tower runs inside a ``shard_map`` over
     ('data',) (the Pallas/int8 kernel path — a custom call GSPMD cannot
     partition, but which is embarrassingly data-parallel), where the local
-    program needs the full weights on every device."""
+    program needs the full weights on every device.
+
+    ``replicate_text``: same for the text tower — used when the
+    DIFFERENTIATED tower runs inside the trainer's shard_map (kernel text
+    impls; make_train_step's ``text_features``)."""
     if replicate_visual:
         visual_blocks = jax.tree.map(
             lambda _: REPL, _tower_block_pspecs(), is_leaf=lambda x: isinstance(x, P)
@@ -81,12 +86,16 @@ def param_pspecs(params: Params, *, replicate_visual: bool = False) -> Params:
             "ln_post": {"scale": REPL, "bias": REPL},
             "proj": REPL,
         }
+    text_blocks = _tower_block_pspecs()
+    if replicate_text:
+        text_blocks = jax.tree.map(
+            lambda _: REPL, text_blocks, is_leaf=lambda x: isinstance(x, P))
     specs = {
         "visual": visual,
         "text": {
             "tok_embed": REPL,
             "pos": REPL,
-            "blocks": _tower_block_pspecs(),
+            "blocks": text_blocks,
             "ln_final": {"scale": REPL, "bias": REPL},
             "proj": REPL,
         },
@@ -107,13 +116,19 @@ def param_pspecs(params: Params, *, replicate_visual: bool = False) -> Params:
     return specs
 
 
-def lora_pspecs(lora_tree: Params) -> Params:
-    """A replicated, B sharded like its host weight's output dimension."""
-    per_point = {
-        "c_fc": {"A": REPL, "B": P(None, None, "model")},   # B: (L, r, M)
-        "c_proj": {"A": P(None, "model", None), "B": REPL},  # A: (L, M, r)
-        "out_proj": {"A": REPL, "B": REPL},
-    }
+def lora_pspecs(lora_tree: Params, *, replicate: bool = False) -> Params:
+    """A replicated, B sharded like its host weight's output dimension.
+    ``replicate=True`` (kernel text impls — the adapters enter the trainer's
+    shard_map with a P() in_spec): everything replicated."""
+    if replicate:
+        per_point = {k: {"A": REPL, "B": REPL}
+                     for k in ("c_fc", "c_proj", "out_proj")}
+    else:
+        per_point = {
+            "c_fc": {"A": REPL, "B": P(None, None, "model")},   # B: (L, r, M)
+            "c_proj": {"A": P(None, "model", None), "B": REPL},  # A: (L, M, r)
+            "out_proj": {"A": REPL, "B": REPL},
+        }
     return {k: per_point[k] for k in lora_tree}
 
 
@@ -133,6 +148,7 @@ def shard_train_step(
     opt_state,
     *,
     replicate_visual: bool = False,
+    replicate_text: bool = False,
 ) -> Tuple[Callable, Callable, Params, Params, Any]:
     """jit the train/eval steps over the mesh with explicit in/out shardings
     and move the states onto it. Batch inputs shard on ('data',).
@@ -141,9 +157,15 @@ def shard_train_step(
     ``make_train_step(..., mesh=mesh)``, whose frozen image tower runs inside
     a shard_map over ('data',) and therefore needs the full visual weights on
     every device (that is how the Pallas/int8 image kernels stay usable under
-    a mesh)."""
-    pspec = param_pspecs(params, replicate_visual=replicate_visual)
-    lspec = lora_pspecs(lora_tree)
+    a mesh).
+
+    ``replicate_text=True`` matches a step whose DIFFERENTIATED text tower
+    runs inside that shard_map too (kernel text impls —
+    ``train_step.text_impl != 'xla'``): text weights, adapters, and the
+    adapter-shaped optimizer state all replicate."""
+    pspec = param_pspecs(params, replicate_visual=replicate_visual,
+                         replicate_text=replicate_text)
+    lspec = lora_pspecs(lora_tree, replicate=replicate_text)
     ospec = _opt_state_pspecs(opt_state, lora_tree, lspec)
 
     s = lambda spec: jax.tree.map(lambda sp: NamedSharding(mesh, sp), spec,

@@ -184,10 +184,13 @@ def make_train_step(
     kernels included) on its local batch shard. This is how multi-chip
     training keeps the fast image forward (GSPMD cannot partition the
     Pallas custom calls, but the frozen tower is embarrassingly
-    data-parallel). Pair with ``shard_train_step(...,
-    replicate_visual=True)``. The differentiated text tower stays on the
-    GSPMD path: it is TP-shardable, and the global-batch contrastive loss
-    needs the full feature matrices anyway.
+    data-parallel). The DIFFERENTIATED text tower does the same when a
+    kernel impl is selected (pallas_vjp / block_fused / block_fused_int8):
+    per-shard tower inside a shard_map, global contrastive loss outside on
+    the sharded feature rows, adapter gradients psum'd by the shard_map
+    transpose — pair with ``shard_train_step(..., replicate_visual=True,
+    replicate_text=True)``. With ``attn_impl='xla'`` the text tower stays
+    on the GSPMD path instead, which also admits TP-sharded text weights.
     """
     scaling = cfg.alpha / cfg.rank
     image_impl = cfg.image_attn_impl if cfg.image_attn_impl is not None else "auto"
@@ -197,32 +200,36 @@ def make_train_step(
     image_dtype = jnp.bfloat16 if cfg.quantize_image else cfg.dtype
     text_impl = cfg.attn_impl
     if text_impl == "auto":
-        # pallas_vjp is a custom call GSPMD cannot partition, so "auto" only
-        # selects it when there is exactly one addressable device — the
-        # make_train_step + shard_train_step composition (tests/test_parallel,
-        # __graft_entry__.dryrun_multichip) then resolves to the shardable
-        # XLA path without every caller needing to know the constraint.
+        # pallas_vjp is a custom call GSPMD cannot partition, so "auto"
+        # selects it on a TPU backend either single-device or under a mesh
+        # (where the text tower runs inside a shard_map over ('data',) with
+        # replicated weights — see text_features below). Multi-device
+        # WITHOUT a mesh resolves to the shardable XLA path.
         single_device = jax.device_count() == 1
         text_impl = ("pallas_vjp"
-                     if jax.default_backend() == "tpu" and single_device
+                     if jax.default_backend() == "tpu"
+                     and (single_device or mesh is not None)
                      else "xla")
     text_remat = cfg.remat_text
     if text_impl == "block_fused":
         # The kernel only engages under its preconditions (full reference
         # attach set, no dropout, quick-gelu — models.clip.block); mirror
         # them here so a silent fallback to autodiff keeps remat ON instead
-        # of stashing 12 layers of activations. Two additional gates live
-        # only here: a mesh (GSPMD cannot partition the custom-VJP pallas
-        # call — same constraint as pallas_vjp) and the whole-block VMEM
-        # fit (larger text towers would die in Mosaic allocation).
-        from aiic_tpu.ops.block_grad import text_block_fits
+        # of stashing 12 layers of activations. One additional gate lives
+        # only here: the whole-block VMEM plan (wide towers run the kernels
+        # hidden-axis-CHUNKED — ops/block_grad text_block_plan; geometries
+        # with no plan at all would die in Mosaic allocation and fall back
+        # here instead). A mesh is NOT a blocker: the kernel text tower
+        # runs inside a shard_map over ('data',) with replicated weights
+        # (text_features below), the same way the frozen image tower keeps
+        # its Pallas/int8 kernels multi-chip.
+        from aiic_tpu.ops.block_grad import text_block_supported
 
         kernel_ok = (
             cfg.lora_dropout == 0.0
             and all(k in cfg.attach for k in ("out_proj", "c_fc", "c_proj"))
             and config.gelu_type == "quick_gelu"
-            and mesh is None
-            and text_block_fits(
+            and text_block_supported(
                 config.context_length, config.text.width,
                 config.text.mlp_dim, config.text.heads,
                 jnp.dtype(cfg.dtype).itemsize)
@@ -242,7 +249,7 @@ def make_train_step(
         else:
             text_impl = ("pallas_vjp"
                          if jax.default_backend() == "tpu"
-                         and jax.device_count() == 1 and mesh is None
+                         and (jax.device_count() == 1 or mesh is not None)
                          else "xla")
     if cfg.quantize_text and text_impl != "block_fused_int8":
         # Fail loudly: the flag exists to train adapters against the int8
@@ -252,8 +259,8 @@ def make_train_step(
         raise ValueError(
             "quantize_text requires the int8 whole-block text kernel, which "
             f"was not selected (resolved attn_impl={text_impl!r}). It needs "
-            "attn_impl='block_fused', no mesh, the full reference attach "
-            "set, lora_dropout=0, quick-gelu, and a text tower that fits "
+            "attn_impl='block_fused', the full reference attach set, "
+            "lora_dropout=0, quick-gelu, and a text tower that fits "
             "the kernel's VMEM budget (ops/block_grad.text_block_int8_fits)."
         )
 
@@ -288,6 +295,53 @@ def make_train_step(
     # dtype is bf16 (int8 MACs + bf16 core); plain cfg.dtype otherwise.
     text_dtype = jnp.bfloat16 if text_impl == "block_fused_int8" else cfg.dtype
 
+    def _text_branch(lora_tree, params, token_rows, rng=None):
+        return normalize_features(
+            encode_text(
+                params, token_rows, config, dtype=text_dtype,
+                attn_impl=text_impl, lora=lora_tree, lora_scaling=scaling,
+                lora_dropout=cfg.lora_dropout if rng is not None else 0.0,
+                lora_rng=rng, remat=text_remat,
+            )
+        )
+
+    if mesh is not None and text_impl in (
+            "pallas_vjp", "block_fused", "block_fused_int8"):
+        # The DIFFERENTIATED text tower under a mesh, kernels kept: each
+        # device runs the single-chip program (Pallas custom VJPs included)
+        # on its local token rows with replicated weights + adapters, pure
+        # data parallelism over ('data',). shard_map is differentiable —
+        # the transpose of the replicated adapter in_spec is a psum over
+        # the mesh, so value_and_grad over the global contrastive loss
+        # (computed OUTSIDE the shard_map on the P('data')-sharded feature
+        # rows) yields exactly the single-device gradient; verified to 1e-5
+        # against the unsharded step in tests/test_parallel.py. Kernel
+        # paths require lora_dropout == 0, so no rng crosses the boundary.
+        from jax.sharding import PartitionSpec as P
+
+        _text_sm = jax.shard_map(
+            lambda lt, p, t: _text_branch(lt, p, t),
+            mesh=mesh, in_specs=(P(), P(), P("data")), out_specs=P("data"),
+            check_vma=False,  # Pallas custom calls defeat the rep checker
+        )
+        _n_data = mesh.shape["data"]
+
+        def text_features(lora_tree, params, token_rows, rng=None):
+            # Pad rows to the data-axis multiple (the prompt pool's size is
+            # data-dependent); padded rows cost one tower pass each and are
+            # sliced off before the loss ever sees them.
+            rows = token_rows.shape[0]
+            pad = (-rows) % _n_data
+            if pad:
+                token_rows = jnp.concatenate(
+                    [token_rows,
+                     jnp.zeros((pad,) + token_rows.shape[1:],
+                               token_rows.dtype)])
+            out = _text_sm(lora_tree, params, token_rows)
+            return out[:rows] if pad else out
+    else:
+        text_features = _text_branch
+
     if prompt_pool is not None and cfg.lora_dropout > 0.0:
         raise ValueError(
             "prompt_pool (dedup_prompts) requires lora_dropout == 0: a "
@@ -305,16 +359,9 @@ def make_train_step(
             batch_x.astype(cfg.dtype) if cached_image
             else image_features(params, batch_x)
         )
-        txt = normalize_features(
-            encode_text(
-                params,
-                tokens if pool_tokens is None else pool_tokens,
-                config, dtype=text_dtype, attn_impl=text_impl,
-                lora=lora_tree, lora_scaling=scaling,
-                lora_dropout=cfg.lora_dropout if rng is not None else 0.0,
-                lora_rng=rng,
-                remat=text_remat,
-            )
+        txt = text_features(
+            lora_tree, params,
+            tokens if pool_tokens is None else pool_tokens, rng,
         )
         if pool_tokens is not None:
             txt = txt[tokens]
@@ -333,6 +380,9 @@ def make_train_step(
         return loss_fn(lora_tree, params, batch_x, tokens)
 
     train_step.image_features = image_features
+    # Resolved text implementation (callers pick shard_train_step's
+    # replicate_text from it: kernel paths need replicated text weights).
+    train_step.text_impl = eval_step.text_impl = text_impl
     return train_step, eval_step
 
 
@@ -481,21 +531,11 @@ def train_lora(
     from aiic_tpu.models.init import init_clip_params
 
     cfg = cfg or TrainConfig()
-    if mesh is not None and cfg.attn_impl == "auto":
-        # The differentiable text kernel (pallas_vjp) is a custom call GSPMD
-        # cannot partition; the text tower runs the TP-shardable XLA path
-        # under a mesh. The IMAGE tower keeps its Pallas/int8 kernels under a
-        # mesh via make_train_step's shard_map over ('data',).
-        cfg = dataclasses.replace(cfg, attn_impl="xla")
-    elif mesh is not None and cfg.attn_impl in ("pallas_vjp", "block_fused"):
-        # Fail loudly instead of letting GSPMD hit the unpartitionable
-        # custom call (and the kernel receive TP-sharded LoRA factors) with
-        # an opaque compile error.
-        raise ValueError(
-            f"attn_impl={cfg.attn_impl!r} is a Pallas custom-call path GSPMD "
-            "cannot partition over the text tower's TP axis — use "
-            "attn_impl='auto' (or 'xla') when training over a mesh"
-        )
+    # Kernel text impls (pallas_vjp / block_fused / the int8 variant) run
+    # under a mesh inside make_train_step's shard_map over ('data',) with
+    # replicated text weights — no special-casing needed here; the step
+    # exposes the resolved impl as train_step.text_impl and shard_train_step
+    # is told to replicate accordingly below.
     if params is None:
         params = init_clip_params(jax.random.PRNGKey(cfg.seed), config)
 
@@ -569,6 +609,9 @@ def train_lora(
         train_step, eval_step, params, lora_tree, opt_state = shard_train_step(
             mesh, train_step, eval_step, params, lora_tree, opt_state,
             replicate_visual=True,
+            # Kernel text impls run inside a shard_map with replicated text
+            # weights + adapters; only the XLA path admits TP sharding.
+            replicate_text=train_step.text_impl != "xla",
         )
         from aiic_tpu.parallel.multihost import process_local_rows
 

@@ -283,6 +283,88 @@ def test_train_step_mesh_kernels_quantized_matches_single_device():
                                    np.asarray(b, np.float32), atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["block_fused", "pallas_vjp"])
+def test_train_step_text_kernels_under_mesh_match_single_device(impl):
+    """Kernel text impls are no longer single-device-only: under a mesh the
+    DIFFERENTIATED text tower runs inside a shard_map over ('data',) with
+    replicated weights+adapters (make_train_step's text_features); the
+    shard_map transpose psums the adapter gradients, so one sharded step
+    reproduces the single-device kernel step's loss and updated adapters."""
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal(
+        (8, CFG.image_size, CFG.image_size, 3)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(
+        1, CFG.vocab_size - 2, (8, CFG.context_length)).astype(np.int32))
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    tc = TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4,
+                     attach=("c_fc", "c_proj", "out_proj"), attn_impl=impl,
+                     dtype=jnp.float32)
+    lora = init_text_lora(jax.random.PRNGKey(1), CFG, LoRAConfig(2, 4, tc.attach))
+    opt = make_optimizer(tc, 1)
+    opt_state = opt.init(lora)
+
+    ts, _ = make_train_step(CFG, tc, opt)
+    assert ts.text_impl == impl
+    ref_loss, ref_lora, _ = jax.jit(ts)(
+        params, jax.tree.map(jnp.array, lora),
+        jax.tree.map(lambda x: jnp.array(x) if hasattr(x, "shape") else x, opt_state),
+        pixels, tokens, jax.random.PRNGKey(0))
+
+    mesh = create_mesh(8, tp=2)
+    ts_m, es_m = make_train_step(CFG, tc, opt, mesh=mesh)
+    assert ts_m.text_impl == impl
+    jt, _, sp, sl, so = shard_train_step(
+        mesh, ts_m, es_m, params, jax.tree.map(jnp.array, lora),
+        jax.tree.map(lambda x: jnp.array(x) if hasattr(x, "shape") else x, opt_state),
+        replicate_visual=True, replicate_text=True)
+    loss, new_lora, _ = jt(sp, sl, so, pixels, tokens, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_lora), jax.tree.leaves(new_lora)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-5)
+
+
+def test_train_step_text_kernels_mesh_prompt_pool_pads():
+    """The dedup prompt pool's size is data-dependent; under the kernel-text
+    mesh path the pool rows pad up to the data-axis multiple and the padded
+    features never reach the loss — numerics match the single-device dedup
+    step at a pool size (3) not divisible by the mesh's data axis (4)."""
+    rng = np.random.default_rng(1)
+    pixels = jnp.asarray(rng.standard_normal(
+        (8, CFG.image_size, CFG.image_size, 3)).astype(np.float32))
+    pool = jnp.asarray(rng.integers(
+        1, CFG.vocab_size - 2, (3, CFG.context_length)).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, 3, (8,)).astype(np.int32))
+    params = init_clip_params(jax.random.PRNGKey(0), CFG)
+    tc = TrainConfig(epochs=1, batch_size=8, rank=2, alpha=4,
+                     attach=("c_fc", "c_proj", "out_proj"),
+                     attn_impl="block_fused", dtype=jnp.float32)
+    lora = init_text_lora(jax.random.PRNGKey(1), CFG, LoRAConfig(2, 4, tc.attach))
+    opt = make_optimizer(tc, 1)
+    opt_state = opt.init(lora)
+
+    ts, _ = make_train_step(CFG, tc, opt, prompt_pool=np.asarray(pool))
+    ref_loss, ref_lora, _ = jax.jit(ts)(
+        params, jax.tree.map(jnp.array, lora),
+        jax.tree.map(lambda x: jnp.array(x) if hasattr(x, "shape") else x, opt_state),
+        pixels, ids, jax.random.PRNGKey(0))
+
+    mesh = create_mesh(8, tp=2)
+    ts_m, es_m = make_train_step(CFG, tc, opt, mesh=mesh,
+                                 prompt_pool=np.asarray(pool))
+    jt, _, sp, sl, so = shard_train_step(
+        mesh, ts_m, es_m, params, jax.tree.map(jnp.array, lora),
+        jax.tree.map(lambda x: jnp.array(x) if hasattr(x, "shape") else x, opt_state),
+        replicate_visual=True, replicate_text=True)
+    loss, new_lora, _ = jt(sp, sl, so, pixels, ids, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_lora), jax.tree.leaves(new_lora)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-5)
+
+
 def test_analyzer_with_mesh_matches_single_device():
     """InteriorAnalyzer(mesh=...) — the engine-level serving surface —
     pads odd batches up to a device-count multiple and matches the

@@ -87,7 +87,17 @@ def _text_block_chunk_vmem_bytes(group: int, seq: int, width: int,
     one (W, M/C)+(M/C, W) weight-chunk pair streams per grid step (double-
     buffered); the attention-half stashes and the chunk-loop accumulators
     persist in scratch. LoRA factors/accumulators are bounded by a fixed
-    r<=64 allowance plus a 1 MB slop term."""
+    r<=64 allowance plus a 1 MB slop term.
+
+    Calibrated against real v5e Mosaic scoped-allocation reports at the
+    L/14 text geometry INSIDE the production scan+grad composition (the
+    standalone kernel at the same blocking allocates ~2.4 MB LESS — large
+    grids inside a scanned gradient pay extra multiple-buffering): measured
+    (S=77, W=768, M=3072, H=12, bf16, rows=304) (G=2,C=8) -> 16.70 MB and
+    (G=1,C=4) -> 17.09 MB, both over the 16 MB ceiling, while (G=2,C=12),
+    (G=2,C=24) and (G=1,C=8) compile. The fp32 QKV accumulator term (also
+    in the unchunked estimator) puts the two failures above the 15 MB
+    budget and keeps the passes under it."""
     rows = group * seq
     chunk = mlp_dim // n_chunks
     return (
@@ -95,7 +105,7 @@ def _text_block_chunk_vmem_bytes(group: int, seq: int, width: int,
         + 2 * 2 * width * chunk * itemsize     # streamed W1/W2 pair, x2 buffers
         + 2 * 3 * rows * width * itemsize      # x + dy in (buffered) + dx out
         + seq * seq * 4                        # mask
-        + rows * 3 * width * itemsize          # qkv stash
+        + rows * 3 * width * (4 + itemsize)    # qkv fp32 accumulator + stash
         + group * heads * seq * seq * 4        # per-head probabilities stash
         + 2 * rows * width * itemsize          # a + h2 stashes (compute dtype)
         + 2 * rows * width * 4                 # xhat2 + dh2 fp32
@@ -114,19 +124,24 @@ def text_block_plan(seq: int, width: int, mlp_dim: int, heads: int,
     weight traffic per row — the dominant cost of chunking — and amortizes
     the seq->sublane padding), then the unchunked form, then the smallest
     chunk count. The total streamed bytes per group are C-independent, so
-    any C that fits at G=2 beats every G=1 blocking."""
+    any C that fits at G=2 beats every G=1 blocking.
+
+    Chunk sizes must be LANE-ALIGNED: the streamed (W, M/C) / (M/C, W)
+    weight blocks need their M/C dimension to be a multiple of 128 or
+    Mosaic rejects the block spec (M=3072 admits C in {2,3,4,6,8,12,24},
+    NOT 16)."""
     for g in (2, 1):
         if bsz is not None and bsz % g:
             continue
         if _text_block_vmem_bytes(g, seq, width, mlp_dim, heads,
                                   itemsize) <= _BLOCK_VMEM_BUDGET:
             return (g, 1)
-        c = 2
-        while mlp_dim % c == 0 and mlp_dim // c >= 128:
+        for c in range(2, mlp_dim // 128 + 1):
+            if mlp_dim % c or (mlp_dim // c) % 128:
+                continue
             if _text_block_chunk_vmem_bytes(g, seq, width, mlp_dim, heads,
                                             c, itemsize) <= _BLOCK_VMEM_BUDGET:
                 return (g, c)
-            c *= 2
     return None
 
 
@@ -1230,10 +1245,19 @@ def _int8_text_block_vmem_bytes(group: int, seq: int, width: int,
     )
 
 
+# The int8 estimator runs hotter against reality than the bf16 one: the
+# measured v5e in-scan Mosaic allocation for the L/14 text geometry at G=1
+# (est 13.30 MB) is 17.57 MB — 1.57 MB over the 16 MB ceiling — while the
+# shipping ViT-B/16 G=2 config (est 11.23 MB) compiles and trains at
+# B=1024. 12.5 MB splits the two measured points; revisit if a geometry
+# lands between them (or add a chunked int8 pair like the bf16 kernels').
+_INT8_BLOCK_VMEM_BUDGET = int(12.5 * 1024 * 1024)
+
+
 def text_block_int8_fits(seq: int, width: int, mlp_dim: int,
                          heads: int) -> bool:
     return _int8_text_block_vmem_bytes(1, seq, width, mlp_dim,
-                                       heads) <= _BLOCK_VMEM_BUDGET
+                                       heads) <= _INT8_BLOCK_VMEM_BUDGET
 
 
 def _pick_group_int8(bsz, seq, width, mlp_dim, heads, want=2):
@@ -1242,10 +1266,10 @@ def _pick_group_int8(bsz, seq, width, mlp_dim, heads, want=2):
         group //= 2
     group = max(group, 1)
     while group > 1 and _int8_text_block_vmem_bytes(
-            group, seq, width, mlp_dim, heads) > _BLOCK_VMEM_BUDGET:
+            group, seq, width, mlp_dim, heads) > _INT8_BLOCK_VMEM_BUDGET:
         group //= 2
     if _int8_text_block_vmem_bytes(group, seq, width, mlp_dim,
-                                   heads) > _BLOCK_VMEM_BUDGET:
+                                   heads) > _INT8_BLOCK_VMEM_BUDGET:
         raise ValueError(
             f"int8 text block geometry (S={seq}, W={width}, M={mlp_dim}) "
             "exceeds the VMEM budget even at G=1")

@@ -153,21 +153,24 @@ def test_block_fused_with_dropout_falls_back_and_trains():
     assert np.isfinite(float(loss))
 
 
-def test_explicit_pallas_impl_under_mesh_raises():
-    """train_lora must reject explicitly-requested Pallas custom-call text
-    paths under a mesh with a clear error, not an opaque GSPMD failure."""
-    import pytest
+def test_explicit_pallas_impl_under_mesh_resolves():
+    """Kernel text impls are legal under a mesh (they run inside
+    make_train_step's shard_map over ('data',) with replicated text
+    weights); the step must resolve and EXPOSE the kernel impl instead of
+    raising or silently falling back to XLA. Numerics parity of the mesh
+    kernel path is covered by tests/test_parallel.py."""
+    import optax
 
     from aiic_tpu.parallel import create_mesh
-    from aiic_tpu.train.trainer import TrainConfig, train_lora
+    from aiic_tpu.train.trainer import TrainConfig, make_train_step
 
+    mesh = create_mesh(8, tp=2)
     for impl in ("pallas_vjp", "block_fused"):
-        with pytest.raises(ValueError, match="GSPMD"):
-            train_lora(
-                "nonexistent.json", None, config=CFG,
-                cfg=TrainConfig(epochs=1, batch_size=8, attn_impl=impl),
-                mesh=create_mesh(8, tp=2), log=lambda *_: None,
-            )
+        ts, es = make_train_step(
+            CFG, TrainConfig(epochs=1, batch_size=8, attn_impl=impl),
+            optax.adamw(1e-4), mesh=mesh)
+        assert ts.text_impl == impl, (impl, ts.text_impl)
+        assert es.text_impl == impl
 
 
 def test_text_block_fits_geometry_guard():

@@ -220,7 +220,7 @@ def block(
     # serves. Requires quantized text weights in the tree (attn_q/mlp_q).
     if attn_impl == "block_fused_int8":
         from aiic_tpu.ops.block_grad import (
-            text_block_int8_fits, text_block_lora_int8,
+            text_block_int8_supported, text_block_lora_int8,
         )
 
         if (
@@ -229,8 +229,8 @@ def block(
             and lora_dropout == 0.0
             and gelu_type == "quick_gelu"
             and "attn_q" in p and "mlp_q" in p
-            and text_block_int8_fits(x.shape[1], x.shape[2],
-                                     p["mlp"]["w1"].shape[-1], heads)
+            and text_block_int8_supported(x.shape[1], x.shape[2],
+                                          p["mlp"]["w1"].shape[-1], heads)
         ):
             on_tpu = jax.default_backend() == "tpu"
             m = (jnp.zeros((x.shape[1], x.shape[1]), jnp.float32)

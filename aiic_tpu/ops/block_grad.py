@@ -1276,10 +1276,435 @@ def _pick_group_int8(bsz, seq, width, mlp_dim, heads, want=2):
     return group
 
 
+# ---------------------------------------------------------------------------
+# hidden-axis-chunked int8 kernels (wide towers — ViT-L/14-class text)
+# ---------------------------------------------------------------------------
+#
+# The unchunked int8 pair cannot compile at W=768/M=3072 (measured 17.57 MB
+# in-scan vs the 16 MB scoped-VMEM ceiling), so wide towers stream the MLP
+# hidden axis like the bf16 chunked pair — with one extra wrinkle: the
+# serving engine's text tower at this geometry runs the UNCHUNKED int8 MLP
+# (ops/quant._mlp_plan resolves ('full', 2, 1) at S=77), whose c_proj
+# activation quantization is per-row over the FULL hidden axis. To keep the
+# forward in serving numerics, the chunked forward runs a TWO-PASS grid
+# (batch groups, 2C): pass 1 streams W1 chunks and materializes the full
+# gelu slab u in scratch, the global per-row quantization happens once at
+# the pass boundary, and pass 2 streams W2 chunks accumulating the int8
+# c_proj partials in an int32 scratch (integer adds are associative, so the
+# accumulator equals the unchunked MAC bit-for-bit; the only drift vs the
+# unchunked kernel is fp32 summation order in the LoRA side terms). The
+# BACKWARD is one pass (batch groups, C): the STE cotangent through c_proj
+# row-quantizes dy*s2 over the full W axis (exact vs unchunked), while the
+# cotangent through c_fc quantizes dfq per (row, chunk) — finer granularity
+# than the unchunked kernel's full-M row scale, which is fine for a
+# gradient that is already a ~1e-2-relative STE approximation (gated by
+# gradient-cosine tests, not bit-exactness).
+
+
+def _int8_text_block_chunk_vmem_bytes(group: int, seq: int, width: int,
+                                      mlp_dim: int, heads: int,
+                                      n_chunks: int) -> int:
+    """Peak-live estimate for the chunked int8 pair (union of fwd and bwd
+    stashes — the two kernels trade the fwd's full-u slab against the bwd's
+    probability stash). Calibrate against real in-scan Mosaic reports like
+    the bf16 chunked estimator."""
+    rows = group * seq
+    chunk = mlp_dim // n_chunks
+    return (
+        3 * width * width + 2 * width * width  # wqkv_q int8 + wo bf16
+        + 2 * 2 * width * chunk                # streamed W1/W2 int8, x2 buffers
+        + 2 * 3 * rows * width * 2             # x + dy in (buffered) + dx out
+        + seq * seq * 4                        # mask
+        + rows * 3 * width * (4 + 2)           # qkv fp32 accumulator + stash
+        + group * heads * seq * seq * 4        # probabilities stash (bwd)
+        + rows * mlp_dim * 5                   # full-u fp32 + uq int8 (fwd)
+        + 2 * rows * width * 4                 # y1 acc + acc2/xhat2 fp32
+        + 2 * rows * width * (1 + 2)           # h2q int8 + h2/a stashes
+        + 2 * rows * width * 4                 # dh2 + dy-f32 transients
+        + 5 * rows * chunk * 4                 # f/sig/u/du/dfq transients
+        + 2 * 64 * mlp_dim * 4                 # dafB/dapA full fp32 outputs
+        + (1 << 20)                            # lora factors + small stashes
+    )
+
+
+def text_block_int8_plan(seq: int, width: int, mlp_dim: int, heads: int,
+                         bsz: int | None = None):
+    """(group, n_chunks) blocking for the int8 kernel pair, or None.
+    Unchunked preferred (it is the serving composition verbatim); chunk
+    sizes must be lane-aligned (M/C % 128 == 0)."""
+    for g in (2, 1):
+        if bsz is not None and bsz % g:
+            continue
+        if _int8_text_block_vmem_bytes(g, seq, width, mlp_dim,
+                                       heads) <= _INT8_BLOCK_VMEM_BUDGET:
+            return (g, 1)
+        for c in range(2, mlp_dim // 128 + 1):
+            if mlp_dim % c or (mlp_dim // c) % 128:
+                continue
+            if _int8_text_block_chunk_vmem_bytes(
+                    g, seq, width, mlp_dim, heads,
+                    c) <= _INT8_BLOCK_VMEM_BUDGET:
+                return (g, c)
+    return None
+
+
+def text_block_int8_supported(seq: int, width: int, mlp_dim: int,
+                              heads: int) -> bool:
+    """True when SOME int8 blocking (unchunked or chunked) fits — the
+    trainer's quantize_text gate."""
+    return text_block_int8_plan(seq, width, mlp_dim, heads) is not None
+
+
+def _resolve_plan_int8(bsz, seq, width, mlp, heads, force_plan):
+    if force_plan is not None:
+        group, n_chunks = force_plan
+    else:
+        plan = text_block_int8_plan(seq, width, mlp, heads, bsz=bsz)
+        if plan is None:
+            raise ValueError(
+                f"int8 text block geometry (S={seq}, W={width}, M={mlp}) "
+                "exceeds the VMEM budget even hidden-axis-chunked at G=1")
+        group, n_chunks = plan
+    while bsz % group:
+        group //= 2
+    return max(group, 1), n_chunks
+
+
+def _int8_chunked_weight_operands(bp: Params, qw: QWeights, lora: Params,
+                                  cdt, *, with_b2: bool):
+    row = lambda v: v.reshape(1, -1)
+    ops = [
+        row(bp["ln1"]["scale"]).astype(cdt), row(bp["ln1"]["bias"]).astype(cdt),
+        row(bp["ln2"]["scale"]).astype(cdt), row(bp["ln2"]["bias"]).astype(cdt),
+        qw["wqkv_q"], row(qw["sqkv"]),
+        row(bp["attn"]["bqkv"]).astype(cdt),
+        bp["attn"]["wo"].astype(cdt), row(bp["attn"]["bo"]).astype(cdt),
+        qw["w1_q"], row(qw["s1"]), row(bp["mlp"]["b1"]).astype(cdt),
+        qw["w2_q"], row(qw["s2"]),
+    ]
+    if with_b2:
+        ops.append(row(bp["mlp"]["b2"]).astype(cdt))
+    ops += [
+        lora["out_proj"]["A"].astype(cdt), lora["out_proj"]["B"].astype(cdt),
+        lora["c_fc"]["A"].astype(cdt), lora["c_fc"]["B"].astype(cdt),
+        lora["c_proj"]["A"].astype(cdt), lora["c_proj"]["B"].astype(cdt),
+    ]
+    return ops
+
+
+def _int8_chunked_weight_specs(width: int, mlp: int, chunk: int,
+                               r_o: int, r_f: int, r_p: int, n_chunks: int,
+                               *, with_b2: bool):
+    """Chunk-sliced specs for the int8 kernels. Index maps use ``c %
+    n_chunks`` so the same builder serves the forward's two-pass grid
+    (2C steps — pass 2's step c fetches chunk c-C) and the backward's
+    one-pass grid (C steps — identity)."""
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, c: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    cmod = lambda c: c % n_chunks
+    specs = [
+        const((1, width)), const((1, width)), const((1, width)), const((1, width)),
+        const((width, 3 * width)), const((1, 3 * width)), const((1, 3 * width)),
+        const((width, width)), const((1, width)),
+        pl.BlockSpec((width, chunk), lambda b, c: (0, cmod(c)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda b, c: (0, cmod(c)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda b, c: (0, cmod(c)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, width), lambda b, c: (cmod(c), 0),
+                     memory_space=pltpu.VMEM),
+        const((1, width)),
+    ]
+    if with_b2:
+        specs.append(const((1, width)))
+    specs += [
+        const((width, r_o)), const((r_o, width)),
+        const((width, r_f)),
+        pl.BlockSpec((r_f, chunk), lambda b, c: (0, cmod(c)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, r_p), lambda b, c: (cmod(c), 0),
+                     memory_space=pltpu.VMEM),
+        const((r_p, width)),
+    ]
+    return specs
+
+
+def _text_block_fwd_int8_chunk_kernel(
+    x_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1c_ref, s1c_ref, b1c_ref, w2c_ref, s2_ref, b2_ref,
+    aoA_ref, aoB_ref, afA_ref, afBc_ref, apAc_ref, apB_ref,
+    y_ref,
+    y1_ref, acc2_ref, u_ref, uq_ref, us_ref, h2q_ref, h2s_ref,
+    h2af_ref, uap_ref,
+    *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+    n_chunks: int, chunk: int,
+):
+    """Two-pass hidden-axis-chunked int8 whole-block FORWARD: grid
+    (batch groups, 2C). Pass 1 (c < C) streams W1 chunks and fills the full
+    gelu slab ``u``; the pass boundary quantizes u per-row over the FULL
+    hidden axis (serving numerics — the serving text MLP at these
+    geometries is the unchunked kernel); pass 2 streams W2 chunks and
+    accumulates the int8 c_proj partials in int32 (bit-equal to the
+    unchunked MAC)."""
+    width = heads * dim
+    prec = _mm_prec(x_ref.dtype)
+    cdt = x_ref.dtype
+    group, seq, _ = x_ref.shape
+    rows = group * seq
+    c = pl.program_id(1)
+
+    def bdot(a, b, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(c == 0)
+    def _stage_attention_half():
+        mask = mask_ref[:] * jnp.float32(LOG2E)
+        ln1s = ln1s_ref[:].astype(jnp.float32)
+        ln1b = ln1b_ref[:].astype(jnp.float32)
+        ln2s = ln2s_ref[:].astype(jnp.float32)
+        ln2b = ln2b_ref[:].astype(jnp.float32)
+        sqkv = sqkv_ref[:].astype(jnp.float32)
+        bqkv = bqkv_ref[:].astype(jnp.float32)
+        bo = bo_ref[:].astype(jnp.float32)
+        for gidx in range(group):
+            xf = x_ref[gidx].astype(jnp.float32)
+            h1f, _, _ = _ln_fwd(xf, ln1s, ln1b, eps)
+            acc, hs = _q_dot(h1f, wqkv_ref[:], ((1,), (0,)))
+            qkv = (acc * hs * sqkv + bqkv).astype(cdt)
+            outs = []
+            for hd in range(heads):
+                q = qkv[:, hd * dim:(hd + 1) * dim]
+                k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+                v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+                qs = q * jnp.asarray(scale * LOG2E, cdt)
+                s = bdot(qs, k, ((1,), (1,)))
+                p = exp2_rows(s + mask)
+                p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
+                outs.append(bdot(p, v, ((1,), (0,))).astype(cdt))
+            a = jnp.concatenate(outs, axis=-1)
+            a_ao = bdot(a, aoA_ref[:], ((1,), (0,)))
+            ao = (bdot(a, wo_ref[:], ((1,), (0,))) + bo
+                  + scaling * bdot(a_ao, aoB_ref[:], ((1,), (0,))))
+            y1 = xf + ao
+            h2f, _, _ = _ln_fwd(y1, ln2s, ln2b, eps)
+            hq, hscale = _row_quant(h2f)
+            sl = slice(gidx * seq, (gidx + 1) * seq)
+            y1_ref[sl] = y1
+            h2q_ref[sl] = hq
+            h2s_ref[sl] = hscale
+            h2af_ref[sl] = bdot(h2f.astype(cdt), afA_ref[:], ((1,), (0,)))
+        uap_ref[:] = jnp.zeros_like(uap_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    @pl.when(c < n_chunks)
+    def _pass1():
+        acc1 = jax.lax.dot_general(
+            h2q_ref[:], w1c_ref[:], dimension_numbers=((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT).astype(jnp.float32)
+        f = (acc1 * h2s_ref[:] * s1c_ref[:].astype(jnp.float32)
+             + b1c_ref[:].astype(jnp.float32)
+             + scaling * bdot(h2af_ref[:], afBc_ref[:], ((1,), (0,))))
+        u, _sig = _qgelu_fwd(f)
+        u_ref[:, pl.dslice(c * chunk, chunk)] = u
+        uap_ref[:] += bdot(u.astype(cdt), apAc_ref[:], ((1,), (0,)))
+
+    @pl.when(c == n_chunks - 1)
+    def _quantize_u():
+        uq, us = _row_quant(u_ref[:])
+        uq_ref[:] = uq
+        us_ref[:] = us
+
+    @pl.when(c >= n_chunks)
+    def _pass2():
+        cidx = c - n_chunks
+        acc2_ref[:] += jax.lax.dot_general(
+            uq_ref[:, pl.dslice(cidx * chunk, chunk)], w2c_ref[:],
+            dimension_numbers=((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    @pl.when(c == 2 * n_chunks - 1)
+    def _emit():
+        mo = (acc2_ref[:].astype(jnp.float32) * us_ref[:]
+              * s2_ref[:].astype(jnp.float32)
+              + b2_ref[:].astype(jnp.float32)
+              + scaling * bdot(uap_ref[:], apB_ref[:], ((1,), (0,))))
+        y = y1_ref[:] + mo
+        y_ref[:] = y.reshape(group, seq, width).astype(y_ref.dtype)
+
+
+def _text_block_bwd_int8_chunk_kernel(
+    x_ref, dy_ref, mask_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1c_ref, s1c_ref, b1c_ref, w2c_ref, s2_ref,
+    aoA_ref, aoB_ref, afA_ref, afBc_ref, apAc_ref, apB_ref,
+    dx_ref, daoA_ref, daoB_ref, dafA_ref, dafB_ref, dapA_ref, dapB_ref,
+    qkv_ref, probs_ref, a_ref, aao_ref, xhat2_ref, inv2_ref,
+    h2_ref, h2q_ref, h2s_ref, h2af_ref, tp_ref, tf_ref, uap_ref, dh2_ref,
+    *, heads: int, dim: int, scale: float, scaling: float, eps: float,
+    n_chunks: int, chunk: int,
+):
+    """Hidden-axis-chunked int8 whole-block BACKWARD: grid (batch groups,
+    chunks). Chunk 0 recomputes the int8 attention half (serving numerics)
+    and stashes what the close needs; every chunk recomputes its f/gelu
+    slab from the stashed h2 quantization (bit-equal to the forward's) and
+    accumulates the backbone and LoRA partials. The STE cotangent through
+    c_proj row-quantizes dy*s2 over the full W axis (exact vs unchunked);
+    the c_fc cotangent quantizes per (row, chunk)."""
+    width = heads * dim
+    prec = _mm_prec(x_ref.dtype)
+    cdt = x_ref.dtype
+    group, seq, _ = x_ref.shape
+    rows = group * seq
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+
+    def bdot(a, b_, contract):
+        return jax.lax.dot_general(
+            a.astype(cdt), b_.astype(cdt), dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(jnp.logical_and(b == 0, c == 0))
+    def _zero_lora_grads():
+        daoA_ref[:] = jnp.zeros_like(daoA_ref)
+        daoB_ref[:] = jnp.zeros_like(daoB_ref)
+        dafA_ref[:] = jnp.zeros_like(dafA_ref)
+        dafB_ref[:] = jnp.zeros_like(dafB_ref)
+        dapA_ref[:] = jnp.zeros_like(dapA_ref)
+        dapB_ref[:] = jnp.zeros_like(dapB_ref)
+
+    dy = dy_ref[:].reshape(rows, width).astype(jnp.float32)
+    s1c = s1c_ref[:].astype(jnp.float32)
+    s2 = s2_ref[:].astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _stage_attention_half():
+        mask = mask_ref[:] * jnp.float32(LOG2E)
+        ln1s = ln1s_ref[:].astype(jnp.float32)
+        ln1b = ln1b_ref[:].astype(jnp.float32)
+        ln2s = ln2s_ref[:].astype(jnp.float32)
+        ln2b = ln2b_ref[:].astype(jnp.float32)
+        sqkv = sqkv_ref[:].astype(jnp.float32)
+        bqkv = bqkv_ref[:].astype(jnp.float32)
+        bo = bo_ref[:].astype(jnp.float32)
+        for gidx in range(group):
+            xf = x_ref[gidx].astype(jnp.float32)
+            h1f, _, _ = _ln_fwd(xf, ln1s, ln1b, eps)
+            acc, hs = _q_dot(h1f, wqkv_ref[:], ((1,), (0,)))
+            qkv = (acc * hs * sqkv + bqkv).astype(cdt)
+            qkv_ref[gidx] = qkv
+            outs = []
+            for hd in range(heads):
+                q = qkv[:, hd * dim:(hd + 1) * dim]
+                k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+                v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+                qs = q * jnp.asarray(scale * LOG2E, cdt)
+                s = bdot(qs, k, ((1,), (1,)))
+                p = exp2_rows(s + mask)
+                p = p * (1.0 / _denom_guard(jnp.sum(p, axis=-1, keepdims=True)))
+                probs_ref[gidx, hd] = p
+                outs.append(bdot(p, v, ((1,), (0,))).astype(cdt))
+            a_ref[gidx] = jnp.concatenate(outs, axis=-1)
+        a = a_ref[:].reshape(rows, width)
+        aao_ref[:] = bdot(a, aoA_ref[:], ((1,), (0,)))
+        xf = x_ref[:].reshape(rows, width).astype(jnp.float32)
+        ao = (bdot(a, wo_ref[:], ((1,), (0,))) + bo
+              + scaling * bdot(aao_ref[:], aoB_ref[:], ((1,), (0,))))
+        y1 = xf + ao
+        h2f, xhat2, inv2 = _ln_fwd(y1, ln2s, ln2b, eps)
+        xhat2_ref[:] = xhat2
+        inv2_ref[:] = inv2
+        h2_ref[:] = h2f.astype(cdt)
+        hq, hscale = _row_quant(h2f)
+        h2q_ref[:] = hq
+        h2s_ref[:] = hscale
+        h2af_ref[:] = bdot(h2f.astype(cdt), afA_ref[:], ((1,), (0,)))
+        tp_ref[:] = bdot(dy, apB_ref[:], ((1,), (1,)))
+        tf_ref[:] = jnp.zeros_like(tf_ref)
+        uap_ref[:] = jnp.zeros_like(uap_ref)
+        dh2_ref[:] = jnp.zeros_like(dh2_ref)
+
+    # ---- per-chunk MLP backward (f/gelu recomputed bit-equal per chunk) ---
+    acc1 = jax.lax.dot_general(
+        h2q_ref[:], w1c_ref[:], dimension_numbers=((((1,), (0,))), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT).astype(jnp.float32)
+    f = (acc1 * h2s_ref[:] * s1c
+         + b1c_ref[:].astype(jnp.float32)
+         + scaling * bdot(h2af_ref[:], afBc_ref[:], ((1,), (0,))))
+    u, sig = _qgelu_fwd(f)
+    u_c = u.astype(cdt)
+    du_acc, dms = _q_dot(dy * s2, w2c_ref[:], ((1,), (1,)))
+    du = du_acc * dms + scaling * bdot(tp_ref[:], apAc_ref[:], ((1,), (1,)))
+    dfq = du * (sig + 1.702 * f * sig * (1.0 - sig))
+    dh_acc, dfs = _q_dot(dfq * s1c, w1c_ref[:], ((1,), (1,)))
+    dh2_ref[:] += dh_acc * dfs
+    tf_ref[:] += bdot(dfq, afBc_ref[:], ((1,), (1,)))
+    uap_ref[:] += bdot(u_c, apAc_ref[:], ((1,), (0,)))
+    dafB_ref[:, pl.dslice(c * chunk, chunk)] += scaling * bdot(
+        h2af_ref[:], dfq, ((0,), (0,)))
+    dapA_ref[pl.dslice(c * chunk, chunk), :] += scaling * bdot(
+        u_c, tp_ref[:], ((0,), (0,)))
+
+    @pl.when(c == n_chunks - 1)
+    def _close():
+        ln1s = ln1s_ref[:].astype(jnp.float32)
+        ln1b = ln1b_ref[:].astype(jnp.float32)
+        ln2s = ln2s_ref[:].astype(jnp.float32)
+        sqkv = sqkv_ref[:].astype(jnp.float32)
+        dh2 = dh2_ref[:] + scaling * bdot(tf_ref[:], afA_ref[:], ((1,), (1,)))
+        dafA_ref[:] += scaling * bdot(h2_ref[:], tf_ref[:], ((0,), (0,)))
+        dapB_ref[:] += scaling * bdot(uap_ref[:], dy, ((0,), (0,)))
+        dy1 = dy + _ln_bwd(dh2, xhat2_ref[:], inv2_ref[:], ln2s)
+
+        dao = dy1
+        t_o = bdot(dao, aoB_ref[:], ((1,), (1,)))
+        da = (bdot(dao, wo_ref[:], ((1,), (1,)))
+              + scaling * bdot(t_o, aoA_ref[:], ((1,), (1,))))
+        a = a_ref[:].reshape(rows, width)
+        daoA_ref[:] += scaling * bdot(a, t_o, ((0,), (0,)))
+        daoB_ref[:] += scaling * bdot(aao_ref[:], dao, ((0,), (0,)))
+
+        for gidx in range(group):
+            qkv = qkv_ref[gidx]
+            dqs, dks, dvs = [], [], []
+            for hd in range(heads):
+                p = probs_ref[gidx, hd]
+                q = qkv[:, hd * dim:(hd + 1) * dim]
+                k = qkv[:, width + hd * dim: width + (hd + 1) * dim]
+                v = qkv[:, 2 * width + hd * dim: 2 * width + (hd + 1) * dim]
+                gh = da[gidx * seq:(gidx + 1) * seq, hd * dim:(hd + 1) * dim]
+                dv = bdot(p, gh, ((0,), (0,)))
+                dp = bdot(gh, v, ((1,), (1,)))
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                ds = ds * scale
+                dqs.append(bdot(ds, k, ((1,), (0,))))
+                dks.append(bdot(ds, q, ((0,), (0,))))
+                dvs.append(dv)
+            dqkv = jnp.concatenate(
+                [jnp.concatenate(dqs, axis=-1),
+                 jnp.concatenate(dks, axis=-1),
+                 jnp.concatenate(dvs, axis=-1)], axis=-1)  # (S, 3W) fp32
+            dqkv_acc, dqs_scale = _q_dot(dqkv * sqkv, wqkv_ref[:], ((1,), (1,)))
+            dh1 = dqkv_acc * dqs_scale
+            xf = x_ref[gidx].astype(jnp.float32)
+            _, xhat1, inv1 = _ln_fwd(xf, ln1s, ln1b, eps)
+            dx = dy1[gidx * seq:(gidx + 1) * seq] + _ln_bwd(dh1, xhat1, inv1, ln1s)
+            dx_ref[gidx] = dx.astype(dx_ref.dtype)
+
+
 def text_block_fwd_int8(
     x: jnp.ndarray, mask: jnp.ndarray, bp: Params, qw: QWeights,
     lora: Params, *, heads: int, scaling: float, eps: float = 1e-5,
     interpret: bool = False,
+    force_plan: Tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     bsz, seq, width = x.shape
     dim = width // heads
@@ -1287,7 +1712,48 @@ def text_block_fwd_int8(
     r_o = lora["out_proj"]["A"].shape[-1]
     r_f = lora["c_fc"]["A"].shape[-1]
     r_p = lora["c_proj"]["A"].shape[-1]
-    group = _pick_group_int8(bsz, seq, width, mlp, heads)
+    group, n_chunks = _resolve_plan_int8(bsz, seq, width, mlp, heads,
+                                         force_plan)
+    if n_chunks > 1:
+        chunk = mlp // n_chunks
+        rows = group * seq
+        return pl.pallas_call(
+            functools.partial(_text_block_fwd_int8_chunk_kernel, heads=heads,
+                              dim=dim, scale=dim ** -0.5, scaling=scaling,
+                              eps=eps, n_chunks=n_chunks, chunk=chunk),
+            out_shape=jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+            grid=(bsz // group, 2 * n_chunks),
+            in_specs=[
+                pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seq, seq), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                *_int8_chunked_weight_specs(width, mlp, chunk, r_o, r_f, r_p,
+                                            n_chunks, with_b2=True),
+            ],
+            out_specs=pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((rows, width), jnp.float32),   # y1
+                pltpu.VMEM((rows, width), jnp.int32),     # acc2
+                pltpu.VMEM((rows, mlp), jnp.float32),     # full u slab
+                pltpu.VMEM((rows, mlp), jnp.int8),        # uq
+                pltpu.VMEM((rows, 1), jnp.float32),       # us
+                pltpu.VMEM((rows, width), jnp.int8),      # h2q
+                pltpu.VMEM((rows, 1), jnp.float32),       # h2s
+                pltpu.VMEM((rows, r_f), jnp.float32),     # h2 @ Af
+                pltpu.VMEM((rows, r_p), jnp.float32),     # u @ Ap accumulator
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bsz * seq * width * (4 * width + 2 * mlp)
+                + 4 * bsz * heads * seq * seq * dim,
+                bytes_accessed=2 * bsz * seq * width * x.dtype.itemsize
+                + (bsz // group) * (3 * width * width + 2 * width * mlp),
+                transcendentals=bsz * (heads * seq * seq + seq * mlp),
+            ),
+            interpret=interpret,
+        )(x, mask.astype(jnp.float32),
+          *_int8_chunked_weight_operands(bp, qw, lora, x.dtype, with_b2=True))
 
     return pl.pallas_call(
         functools.partial(_text_block_fwd_int8_kernel, heads=heads, dim=dim,
@@ -1312,10 +1778,97 @@ def text_block_fwd_int8(
     )(x, mask.astype(jnp.float32), *_int8_weight_operands(bp, qw, lora, x.dtype))
 
 
+def _text_block_bwd_int8_chunked(
+    x, dy, mask, bp, qw, lora, *, group: int, n_chunks: int, heads: int,
+    dim: int, scaling: float, eps: float, interpret: bool,
+) -> Tuple[jnp.ndarray, Params]:
+    bsz, seq, width = x.shape
+    mlp = qw["w1_q"].shape[-1]
+    chunk = mlp // n_chunks
+    r_o = lora["out_proj"]["A"].shape[-1]
+    r_f = lora["c_fc"]["A"].shape[-1]
+    r_p = lora["c_proj"]["A"].shape[-1]
+    cdt = x.dtype
+    rows = group * seq
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),
+        jax.ShapeDtypeStruct((width, r_o), jnp.float32),
+        jax.ShapeDtypeStruct((r_o, width), jnp.float32),
+        jax.ShapeDtypeStruct((width, r_f), jnp.float32),
+        jax.ShapeDtypeStruct((r_f, mlp), jnp.float32),
+        jax.ShapeDtypeStruct((mlp, r_p), jnp.float32),
+        jax.ShapeDtypeStruct((r_p, width), jnp.float32),
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, c: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_text_block_bwd_int8_chunk_kernel, heads=heads,
+                          dim=dim, scale=dim ** -0.5, scaling=scaling,
+                          eps=eps, n_chunks=n_chunks, chunk=chunk),
+        out_shape=out_shapes,
+        grid=(bsz // group, n_chunks),
+        in_specs=[
+            pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((seq, seq), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *_int8_chunked_weight_specs(width, mlp, chunk, r_o, r_f, r_p,
+                                        n_chunks, with_b2=False),
+        ],
+        out_specs=(
+            pl.BlockSpec((group, seq, width), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((width, r_o)), const((r_o, width)),
+            const((width, r_f)), const((r_f, mlp)),
+            const((mlp, r_p)), const((r_p, width)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group, seq, 3 * width), cdt),          # qkv
+            pltpu.VMEM((group, heads, seq, seq), jnp.float32),  # probabilities
+            pltpu.VMEM((group, seq, width), cdt),              # a
+            pltpu.VMEM((rows, r_o), jnp.float32),              # a @ Ao
+            pltpu.VMEM((rows, width), jnp.float32),            # xhat2
+            pltpu.VMEM((rows, 1), jnp.float32),                # inv2
+            pltpu.VMEM((rows, width), cdt),                    # h2
+            pltpu.VMEM((rows, width), jnp.int8),               # h2q
+            pltpu.VMEM((rows, 1), jnp.float32),                # h2s
+            pltpu.VMEM((rows, r_f), jnp.float32),              # h2 @ Af
+            pltpu.VMEM((rows, r_p), jnp.float32),              # dy @ Bp^T
+            pltpu.VMEM((rows, r_f), jnp.float32),              # t_f accumulator
+            pltpu.VMEM((rows, r_p), jnp.float32),              # u @ Ap accumulator
+            pltpu.VMEM((rows, width), jnp.float32),            # dh2 accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * bsz * seq * width * (4 * width + 2 * mlp)
+            + 6 * 2 * bsz * heads * seq * seq * dim,
+            bytes_accessed=4 * bsz * seq * width * x.dtype.itemsize
+            + (bsz // group) * (3 * width * width + 2 * width * mlp),
+            transcendentals=bsz * (heads * seq * seq + 2 * seq * mlp),
+        ),
+        interpret=interpret,
+    )(x, dy.astype(x.dtype), mask.astype(jnp.float32),
+      *_int8_chunked_weight_operands(bp, qw, lora, cdt, with_b2=False))
+    dx = outs[0]
+    z = lora
+    dlora = {
+        "out_proj": {"A": outs[1].astype(z["out_proj"]["A"].dtype),
+                     "B": outs[2].astype(z["out_proj"]["B"].dtype)},
+        "c_fc": {"A": outs[3].astype(z["c_fc"]["A"].dtype),
+                 "B": outs[4].astype(z["c_fc"]["B"].dtype)},
+        "c_proj": {"A": outs[5].astype(z["c_proj"]["A"].dtype),
+                   "B": outs[6].astype(z["c_proj"]["B"].dtype)},
+    }
+    return dx, dlora
+
+
 def text_block_bwd_int8(
     x: jnp.ndarray, dy: jnp.ndarray, mask: jnp.ndarray,
     bp: Params, qw: QWeights, lora: Params, *,
     heads: int, scaling: float, eps: float = 1e-5, interpret: bool = False,
+    force_plan: Tuple[int, int] | None = None,
 ) -> Tuple[jnp.ndarray, Params]:
     bsz, seq, width = x.shape
     dim = width // heads
@@ -1323,7 +1876,13 @@ def text_block_bwd_int8(
     r_o = lora["out_proj"]["A"].shape[-1]
     r_f = lora["c_fc"]["A"].shape[-1]
     r_p = lora["c_proj"]["A"].shape[-1]
-    group = _pick_group_int8(bsz, seq, width, mlp, heads)
+    group, n_chunks = _resolve_plan_int8(bsz, seq, width, mlp, heads,
+                                         force_plan)
+    if n_chunks > 1:
+        return _text_block_bwd_int8_chunked(
+            x, dy, mask, bp, qw, lora, group=group, n_chunks=n_chunks,
+            heads=heads, dim=dim, scaling=scaling, eps=eps,
+            interpret=interpret)
 
     out_shapes = (
         jax.ShapeDtypeStruct((bsz, seq, width), x.dtype),

@@ -240,9 +240,9 @@ def make_train_step(
             # just replay the forward a third time.
             text_remat = False
             if cfg.quantize_text:
-                from aiic_tpu.ops.block_grad import text_block_int8_fits
+                from aiic_tpu.ops.block_grad import text_block_int8_supported
 
-                if text_block_int8_fits(
+                if text_block_int8_supported(
                         config.context_length, config.text.width,
                         config.text.mlp_dim, config.text.heads):
                     text_impl = "block_fused_int8"
@@ -261,7 +261,8 @@ def make_train_step(
             f"was not selected (resolved attn_impl={text_impl!r}). It needs "
             "attn_impl='block_fused', the full reference attach set, "
             "lora_dropout=0, quick-gelu, and a text tower that fits "
-            "the kernel's VMEM budget (ops/block_grad.text_block_int8_fits)."
+            "the kernel's VMEM budget "
+            "(ops/block_grad.text_block_int8_supported)."
         )
 
     def _image_branch(visual, pixels):

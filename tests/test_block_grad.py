@@ -337,11 +337,12 @@ def test_chunked_block_kernels_wide_tower_geometry():
                 rtol=2e-3, atol=3e-4, err_msg=f"{point}.{fac}")
 
 
-def test_block_fused_under_mesh_falls_back_in_make_train_step():
-    """make_train_step is a public entry point: called directly with
-    attn_impl='block_fused' AND a mesh, the kernel gate must fall back to
-    the shardable XLA text path (GSPMD cannot partition the custom-VJP
-    pallas call) instead of compiling the kernel under the mesh."""
+def test_block_fused_under_mesh_trains():
+    """make_train_step with attn_impl='block_fused' AND a mesh runs the
+    kernel text tower inside a shard_map over ('data',) — a full sharded
+    step must execute to a finite loss even when the caller does NOT ask
+    shard_train_step to replicate the text weights (the shard_map's
+    replicated in_specs then gather them)."""
     from aiic_tpu.adapters import LoRAConfig, init_text_lora
     from aiic_tpu.parallel import create_mesh, shard_train_step
     from aiic_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
@@ -489,3 +490,90 @@ def test_block_fused_int8_routing_falls_back_without_qweights():
               lora_scaling=scaling, attn_impl="block_fused_int8")
     np.testing.assert_array_equal(np.asarray(a, np.float32),
                                   np.asarray(b, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# hidden-axis-chunked int8 kernels (the L/14-class wide-tower path)
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_int8_forward_matches_unchunked():
+    """The two-pass chunked int8 forward must reproduce the unchunked
+    serving numerics: identical h2/u quantization grids (global per-row u
+    scale via the pass boundary) and an int32 c_proj accumulator that is
+    bit-equal by associativity — only fp32 summation order in the LoRA side
+    terms may drift (ulp-level)."""
+    from aiic_tpu.ops.block_grad import text_block_fwd_int8
+
+    bp, lora, x, mask, scaling = _setup()
+    heads = CFG.text.heads
+    qw = _quantized(bp)
+    xb = x.astype(jnp.bfloat16)
+    kw = dict(heads=heads, scaling=scaling, interpret=True)
+    ref = np.asarray(
+        text_block_fwd_int8(xb, mask, bp, qw, lora, force_plan=(2, 1), **kw),
+        np.float32)
+    for plan in [(2, 2), (1, 4), (4, 2)]:
+        out = np.asarray(
+            text_block_fwd_int8(xb, mask, bp, qw, lora, force_plan=plan,
+                                **kw), np.float32)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=0,
+                                   err_msg=str(plan))
+
+
+def test_chunked_int8_grads_close_to_unchunked():
+    """Chunked int8 backward vs unchunked: the c_fc/c_proj LoRA cotangents
+    and the STE path through c_proj are exact reproductions (identical
+    quantization grids); dx and the out_proj cotangents differ only through
+    the per-(row, chunk) c_fc cotangent quantization — within the STE noise
+    floor the int8 kernels are already gated at."""
+    from aiic_tpu.ops.block_grad import text_block_bwd_int8
+
+    bp, lora, x, mask, scaling = _setup()
+    heads = CFG.text.heads
+    qw = _quantized(bp)
+    xb = x.astype(jnp.bfloat16)
+    dy = jnp.asarray(np.random.default_rng(7).standard_normal(x.shape)
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    kw = dict(heads=heads, scaling=scaling, interpret=True)
+    dx_ref, dl_ref = text_block_bwd_int8(xb, dy, mask, bp, qw, lora,
+                                         force_plan=(2, 1), **kw)
+
+    def cos(u, v):
+        u = np.asarray(u, np.float32).ravel()
+        v = np.asarray(v, np.float32).ravel()
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v) + 1e-12))
+
+    for plan in [(2, 2), (1, 4)]:
+        dx_c, dl_c = text_block_bwd_int8(xb, dy, mask, bp, qw, lora,
+                                         force_plan=plan, **kw)
+        # chunk-local cotangents: exact reproductions
+        for k, f in (("c_fc", "A"), ("c_fc", "B"),
+                     ("c_proj", "A"), ("c_proj", "B")):
+            np.testing.assert_allclose(
+                np.asarray(dl_c[k][f], np.float32),
+                np.asarray(dl_ref[k][f], np.float32),
+                atol=1e-4, rtol=1e-4, err_msg=(plan, k, f))
+        # paths crossing the per-chunk dfq quantization: cosine-gated
+        assert cos(dx_c, dx_ref) > 0.99, (plan, cos(dx_c, dx_ref))
+        for f in ("A", "B"):
+            c = cos(dl_c["out_proj"][f], dl_ref["out_proj"][f])
+            assert c > 0.99, (plan, f, c)
+
+
+def test_int8_plan_geometry():
+    """The int8 planner: B/16-class towers stay on the unchunked serving
+    composition; L/14-class towers (whose unchunked kernel measured 17.57 MB
+    in-scan against the 16 MB ceiling) get a lane-aligned chunked plan; the
+    trainer gate therefore accepts quantize_text at both geometries."""
+    from aiic_tpu.ops.block_grad import (
+        text_block_int8_plan,
+        text_block_int8_supported,
+    )
+
+    assert text_block_int8_plan(77, 512, 2048, 8) == (2, 1)
+    plan = text_block_int8_plan(77, 768, 3072, 12)
+    assert plan is not None and plan[1] > 1, plan
+    assert (3072 // plan[1]) % 128 == 0, plan
+    assert text_block_int8_supported(77, 768, 3072, 12)
+    assert text_block_int8_supported(77, 512, 2048, 8)

@@ -44,7 +44,15 @@ def save_train_state(
     epoch: int,
     best_val_loss: float,
     seed: int,
+    rng_state: Optional[Dict[str, Any]] = None,
+    step: Optional[int] = None,
 ) -> None:
+    """``rng_state``: the data-order ``numpy.random.Generator``'s
+    ``bit_generator.state`` dict at checkpoint time. Persisting it makes a
+    resumed run draw the SAME batch permutations / prompt choices the
+    uninterrupted run would have — without it, resume re-seeds and the data
+    stream diverges (round-3 VERDICT weak #7). PCG64 state is plain ints, so
+    it rides the meta JSON."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = {}
     flat.update({f"lora/{k}": v for k, v in _flatten(lora_tree).items()})
@@ -52,8 +60,15 @@ def save_train_state(
     # in tree order and rebuild against a freshly-initialized state.
     for i, leaf in enumerate(jax.tree.leaves(opt_state)):
         flat[f"opt/{i}"] = np.asarray(leaf)
+    meta = {"epoch": epoch, "best_val_loss": best_val_loss, "seed": seed}
+    if rng_state is not None:
+        meta["rng_state"] = rng_state
+    if step is not None:
+        # global step counter: drives the per-step dropout PRNG fold_in, so
+        # a resumed run replays the same dropout streams too
+        meta["step"] = int(step)
     flat["meta"] = np.frombuffer(
-        json.dumps({"epoch": epoch, "best_val_loss": best_val_loss, "seed": seed}).encode(),
+        json.dumps(meta).encode(),
         dtype=np.uint8,
     )
     np.savez(path, **flat)

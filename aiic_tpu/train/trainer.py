@@ -573,6 +573,7 @@ def train_lora(
 
     start_epoch = 0
     best_val = float("inf")
+    resume_step = 0
     state_path = (save_path + ".state.npz") if save_path else None
     if resume and state_path and os.path.exists(state_path):
         from aiic_tpu.train.checkpoint import load_train_state
@@ -580,6 +581,17 @@ def train_lora(
         lora_tree, opt_state, meta = load_train_state(state_path, lora_tree, opt_state)
         start_epoch = int(meta["epoch"]) + 1
         best_val = float(meta["best_val_loss"])
+        # Replay-identical resume: restore the data-order rng where the
+        # checkpointed run left it, so the resumed run consumes the SAME
+        # permutations/prompt draws the uninterrupted run would have
+        # (tested: test_resume_matches_uninterrupted_run). Old state files
+        # without rng_state keep the legacy re-seeded behavior.
+        if "rng_state" in meta:
+            rng.bit_generator.state = meta["rng_state"]
+            resume_step = int(meta.get("step", 0))
+        else:
+            log("  (state file predates rng persistence: data order will "
+                "not replay the uninterrupted run)")
         log(f"resumed from {state_path} at epoch {start_epoch} (best val {best_val:.4f})")
 
     # Feature-cache training (cfg.cache_image_features): the frozen tower
@@ -659,7 +671,7 @@ def train_lora(
     history = []
     best_tree = lora_tree
     base_key = jax.random.PRNGKey(cfg.seed)
-    step_n = 0
+    step_n = resume_step
     for epoch in range(start_epoch, cfg.epochs):
         train_losses = []
         for pixels, tokens in run_epoch_batches(train_idx):
@@ -714,6 +726,7 @@ def train_lora(
             save_train_state(
                 state_path, lora_tree, opt_state,
                 epoch=epoch, best_val_loss=best_val, seed=cfg.seed,
+                rng_state=rng.bit_generator.state, step=step_n,
             )
 
     return {"best_val_loss": best_val, "lora_tree": best_tree, "history": history}

@@ -68,6 +68,15 @@ def main(argv=None):
                         "when full, new requests fast-fail with 503 + "
                         "Retry-After instead of queueing past their deadline "
                         "(0 = unbounded)")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="dynamic-batcher bucket ceiling for /analyze")
+    p.add_argument("--max-wait-ms", type=float, default=10.0,
+                   help="max time the oldest queued request waits before its "
+                        "batch closes (the occupancy/latency knob)")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="dispatched-but-unfetched batches kept in flight "
+                        "(overlaps device compute/result fetch with the next "
+                        "batch's dispatch; 0 = synchronous per-batch serving)")
     args = p.parse_args(argv)
 
     from aiic_tpu.utils.platform import apply_platform_env
@@ -191,124 +200,21 @@ def main(argv=None):
     )
 
     if args.serve:
-        import numpy as np
-
-        from aiic_tpu.data.images import decode_image_bytes
-        from aiic_tpu.serve.batcher import DynamicBatcher
-        from aiic_tpu.serve.rest import make_server
-
-        def run_batch(pixels):
-            res = analyzer.classify_pixels(pixels)
-            return [
-                {
-                    "is_interior": bool(
-                        res["interior_mass"][i] > res["non_interior_mass"][i]
-                        and res["top_conf"][i] > args.confidence
-                    ),
-                    "interior_confidence": float(res["interior_mass"][i]),
-                    "analysis": analyzer._assemble_analysis(res, i),
-                }
-                for i in range(pixels.shape[0])
-            ]
-
-        from aiic_tpu.serve.metrics import GLOBAL_METRICS
-
-        def dead_letter(n):
-            GLOBAL_METRICS.inc("analyze_dead_letters_total", n)
-
-        batcher = DynamicBatcher(
-            run_batch, max_batch=64, max_wait_ms=10.0,
-            batch_timeout_s=max(args.request_timeout, 1.0), on_timeout=dead_letter,
-            max_queue=args.max_queue or None,
-        )
-
-        from aiic_tpu.data.native_loader import native_available, preprocess_jpeg_batch
-        from aiic_tpu.data.preprocess import (
-            center_crop_bounds,
-            resize_bicubic_numpy,
-            resize_target,
-        )
-
-        use_native = native_available()
-        size = analyzer.config.image_size
-        # patch wire: the native decode emits patch-major directly; the
-        # non-JPEG fallback crop gets the Python repack
-        wire_patch = (analyzer.config.patch_size
-                      if args.wire_format == "patch" else 0)
-
-        def _submit(item):
-            import concurrent.futures
-
-            fut = batcher.submit(item)
-            try:
-                return fut.result(timeout=args.request_timeout)
-            except (TimeoutError, concurrent.futures.TimeoutError) as e:
-                # Only the CLIENT-side wait expiring is counted here; a
-                # batch-level timeout already dead-lettered every member via
-                # the batcher's on_timeout (counting both doubled the metric).
-                if not fut.done():
-                    fut.cancel()  # still queued -> don't compute a result
-                    dead_letter(1)
-                raise TimeoutError(
-                    f"request exceeded {args.request_timeout}s"
-                ) from e
-
-        def analyze_bytes(data: bytes):
-            # All batcher items are uint8 (normalize fused on device); a mixed
-            # uint8/float batch would silently corrupt under np.stack.
-            with GLOBAL_METRICS.stages.stage("serve_decode"):
-                crop = None
-                # preprocess_jpeg_batch has its own Python fallback, so call
-                # it even without the native library — --fast-decode then
-                # rides PIL's draft mode instead of silently doing nothing.
-                if use_native or args.fast_decode:
-                    pixels, ok = preprocess_jpeg_batch(
-                        [data], size, fast=args.fast_decode, patch=wire_patch)
-                    if ok[0]:
-                        crop = pixels[0]
-                if crop is None:
-                    arr = decode_image_bytes(data)  # non-JPEG fallback (PNG, ...)
-                    if arr is None:
-                        return {"error": "could not decode image"}
-                    h, w = arr.shape[:2]
-                    nw, nh = resize_target(w, h, size)
-                    res = resize_bicubic_numpy(arr, nw, nh)
-                    top, left = center_crop_bounds(nw, nh, size)
-                    crop = res[max(top, 0): max(top, 0) + size,
-                               max(left, 0): max(left, 0) + size].astype(np.uint8)
-                    if wire_patch:
-                        from aiic_tpu.ops.preprocess import to_patch_major
-
-                        crop = to_patch_major(crop[None], wire_patch)[0]
-            return _submit(crop)
-
-        # Serve immediately; warm (text cache + bucket precompile) in the
-        # background and flip /ready when done — load balancers gate on
-        # /ready, /health stays liveness-only (cold compile here is ~60s).
-        import threading
-
-        warmed = threading.Event()
-        warm_error = []
-
-        def _warm():
-            print("warming classify buckets (1..64)...")
-            for attempt in (1, 2):
-                try:
-                    analyzer.warmup([1, 2, 4, 8, 16, 32, 64])
-                    warmed.set()
-                    print("warmup complete — /ready now true")
-                    return
-                except Exception as e:  # noqa: BLE001 - must not die silently
-                    print(f"WARMUP FAILED (attempt {attempt}/2): "
-                          f"{type(e).__name__}: {e}", flush=True)
-                    warm_error[:] = [e]
-            print("WARMUP permanently failed — /ready will stay 503; "
-                  "fix the cause and restart", flush=True)
+        from aiic_tpu.serve.app import build_serving_app
 
         # SIGTERM handler was installed before engine construction (above).
-        threading.Thread(target=_warm, daemon=True).start()
-        server = make_server(db=db, analyze_fn=analyze_bytes, port=args.port,
-                             ready_fn=warmed.is_set)
+        server, _batcher, _warmed = build_serving_app(
+            analyzer, db=db,
+            confidence=args.confidence,
+            port=args.port,
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            request_timeout=args.request_timeout,
+            max_queue=args.max_queue or None,
+            fast_decode=args.fast_decode,
+            wire_format=args.wire_format,
+            pipeline_depth=args.pipeline_depth,
+        )
         print(f"serving on :{args.port} (endpoints: /health /ready /apartments "
               f"/process-pending /process/:id /results /export /metrics, POST /analyze)")
         try:

@@ -9,6 +9,15 @@ Design: a single collector thread drains a queue; a batch closes when it
 reaches ``max_batch`` or the oldest request has waited ``max_wait_ms``.
 Results fan back out through per-request futures. Static bucket shapes keep
 XLA recompilation bounded (see utils/batching).
+
+Pipelined mode (``fetch_batch`` given): ``run_batch`` only DISPATCHES the
+device program and returns a handle; a completer thread fetches results for
+up to ``pipeline_depth`` in-flight batches while the collector dispatches the
+next one. On this relay-backed container every synced dispatch pays a
+~30 ms round trip; overlapping batch i's result fetch with batch i+1's
+dispatch keeps the device busy instead of idling through each RTT (and on
+direct-attached hardware it overlaps host batch assembly with device
+compute the same way).
 """
 
 from __future__ import annotations
@@ -17,7 +26,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future, InvalidStateError
-from typing import Any, Callable, List, Sequence
+from typing import Any, Callable, List, Optional, Sequence
 
 import numpy as np
 
@@ -33,7 +42,7 @@ class BatcherOverloaded(RuntimeError):
 class DynamicBatcher:
     def __init__(
         self,
-        run_batch: Callable[[np.ndarray], Sequence[Any]],
+        run_batch: Callable[[np.ndarray], Any],
         *,
         max_batch: int = 64,
         max_wait_ms: float = 10.0,
@@ -41,6 +50,8 @@ class DynamicBatcher:
         batch_timeout_s: float | None = None,
         on_timeout: Callable[[int], None] | None = None,
         max_queue: int | None = None,
+        fetch_batch: Optional[Callable[[Any], Sequence[Any]]] = None,
+        pipeline_depth: int = 2,
     ):
         """``batch_timeout_s``: hard deadline per dispatched batch. A batch
         that exceeds it fails its requests with TimeoutError and the collector
@@ -53,8 +64,15 @@ class DynamicBatcher:
         ``max_queue``: admission-control bound on queued (undispatched)
         requests; when full, submit() raises BatcherOverloaded instead of
         enqueueing. None = unbounded (library default; the serving CLI sets
-        a bound)."""
+        a bound).
+
+        ``fetch_batch``: enables pipelined mode — ``run_batch(items)``
+        dispatches and returns a handle, ``fetch_batch(handle)`` blocks for
+        and returns the per-item results. At most ``pipeline_depth``
+        dispatched-but-unfetched batches stay in flight (the collector blocks
+        past that — backpressure into the admission queue)."""
         self._run_batch = run_batch
+        self._fetch_batch = fetch_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.batch_timeout = batch_timeout_s
@@ -68,6 +86,12 @@ class DynamicBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self._admit_lock = threading.Lock()
         self._stop = threading.Event()
+        self._completions: Optional["queue.Queue"] = None
+        self._completer: Optional[threading.Thread] = None
+        if fetch_batch is not None:
+            self._completions = queue.Queue(maxsize=max(1, pipeline_depth))
+            self._completer = threading.Thread(target=self._complete_loop, daemon=True)
+            self._completer.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -93,6 +117,8 @@ class DynamicBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=2.0)
+        if self._completer is not None:
+            self._completer.join(timeout=2.0)
 
     # ------------------------------------------------------------------
 
@@ -115,6 +141,34 @@ class DynamicBatcher:
                 break
         return batch
 
+    def _resolve(self, futures: List[Future], results: Sequence[Any]) -> None:
+        for fut, res in zip(futures, results):
+            # A client can cancel() between the done() check and set_result;
+            # swallowing the InvalidStateError per-future keeps one racing
+            # cancel from failing the whole batch.
+            if not fut.done():
+                try:
+                    fut.set_result(res)
+                except InvalidStateError:
+                    pass
+
+    def _fail(self, futures: List[Future], e: Exception) -> None:
+        if isinstance(e, TimeoutError):
+            self.metrics.inc("batch_timeouts_total")
+            if self._on_timeout is not None:
+                try:
+                    self._on_timeout(len(futures))
+                except Exception:
+                    pass
+        else:
+            self.metrics.inc("batch_errors_total")
+        for fut in futures:
+            if not fut.done():
+                try:
+                    fut.set_exception(e)
+                except InvalidStateError:
+                    pass
+
     def _loop(self):
         while not self._stop.is_set():
             batch = self._collect()
@@ -129,45 +183,57 @@ class DynamicBatcher:
             items = np.stack([b[0] for b in batch])
             futures = [b[1] for b in batch]
             t0 = time.perf_counter()
+            if self._completions is not None:
+                # pipelined: dispatch here, resolve in the completer thread
+                try:
+                    handle = self._run_batch(items)
+                except Exception as e:
+                    self._fail(futures, e)
+                    continue
+                # blocks when pipeline_depth batches are already in flight
+                self._completions.put((handle, futures, t0))
+                continue
             try:
                 if self.batch_timeout is None:
                     results = self._run_batch(items)
                 else:
-                    results = self._run_with_deadline(items, len(futures))
-                for fut, res in zip(futures, results):
-                    # A client can cancel() between the done() check and
-                    # set_result; swallowing the InvalidStateError per-future
-                    # keeps one racing cancel from failing the whole batch.
-                    if not fut.done():
-                        try:
-                            fut.set_result(res)
-                        except InvalidStateError:
-                            pass
+                    results = self._with_deadline(
+                        lambda: self._run_batch(items), len(futures))
+                self._resolve(futures, results)
                 self.metrics.observe_batch(len(batch), self.max_batch, time.perf_counter() - t0)
             except Exception as e:
-                if isinstance(e, TimeoutError):
-                    self.metrics.inc("batch_timeouts_total")
-                    if self._on_timeout is not None:
-                        try:
-                            self._on_timeout(len(futures))
-                        except Exception:
-                            pass
-                else:
-                    self.metrics.inc("batch_errors_total")
-                for fut in futures:
-                    if not fut.done():
-                        try:
-                            fut.set_exception(e)
-                        except InvalidStateError:
-                            pass
+                self._fail(futures, e)
 
-    def _run_with_deadline(self, items, n: int):
-        """Dispatch on a fresh daemon thread and wait at most batch_timeout."""
+    def _complete_loop(self):
+        """Pipelined mode's second stage: fetch results for dispatched
+        batches in dispatch order and fan them out."""
+        assert self._completions is not None
+        while True:
+            try:
+                handle, futures, t0 = self._completions.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            try:
+                if self.batch_timeout is None:
+                    results = self._fetch_batch(handle)
+                else:
+                    results = self._with_deadline(
+                        lambda: self._fetch_batch(handle), len(futures))
+                self._resolve(futures, results)
+                self.metrics.observe_batch(
+                    len(futures), self.max_batch, time.perf_counter() - t0)
+            except Exception as e:
+                self._fail(futures, e)
+
+    def _with_deadline(self, call: Callable[[], Sequence[Any]], n: int):
+        """Run ``call`` on a fresh daemon thread, wait at most batch_timeout."""
         box: dict = {}
 
         def work():
             try:
-                box["results"] = self._run_batch(items)
+                box["results"] = call()
             except Exception as e:  # propagate real errors, not just timeouts
                 box["error"] = e
 

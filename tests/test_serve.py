@@ -122,6 +122,85 @@ def test_dynamic_batcher_error_propagates():
     b.close()
 
 
+def test_dynamic_batcher_pipelined_overlaps_and_matches_sync():
+    """Pipelined mode (fetch_batch given): results identical to sync mode,
+    and the collector dispatches batch i+1 BEFORE batch i's fetch completes
+    (the overlap that hides the per-fetch relay round trip)."""
+    order = []
+
+    def dispatch(items):
+        order.append("dispatch")
+        return [float(x.sum()) for x in items]
+
+    def fetch(handle):
+        time.sleep(0.05)  # slow result readback (the ~30 ms relay RTT)
+        order.append("fetch_end")
+        return handle
+
+    b = DynamicBatcher(dispatch, fetch_batch=fetch, pipeline_depth=2,
+                       max_batch=2, max_wait_ms=5.0)
+    items = [np.full((2, 2), i, np.float32) for i in range(8)]
+    futs = [b.submit(x) for x in items]
+    results = [f.result(timeout=10) for f in futs]
+    assert results == [float(x.sum()) for x in items]
+    b.close()
+    # at least one later dispatch landed before an earlier fetch finished
+    first_fetch_end = order.index("fetch_end")
+    assert order[:first_fetch_end].count("dispatch") >= 2, order
+
+
+def test_dynamic_batcher_pipelined_fetch_error_propagates():
+    def dispatch(items):
+        return items
+
+    def fetch(handle):
+        raise RuntimeError("fetch boom")
+
+    b = DynamicBatcher(dispatch, fetch_batch=fetch, max_batch=4, max_wait_ms=5.0)
+    fut = b.submit(np.zeros((1,)))
+    with pytest.raises(RuntimeError, match="fetch boom"):
+        fut.result(timeout=5)
+    b.close()
+
+
+def test_serving_app_pipelined_matches_sync(analyzer, ref_root):
+    """build_serving_app (the CLI's serving assembly): the pipelined
+    dispatch/fetch path returns byte-identical responses to the synchronous
+    path, under concurrent clients."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aiic_tpu.serve.app import build_serving_app
+
+    with open(f"{ref_root}/interior_sample.jpg", "rb") as f:
+        payload = f.read()
+
+    def post_all(port, n):
+        def one(_):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/analyze", data=payload, method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read().decode())
+        with ThreadPoolExecutor(max_workers=n) as pool:
+            return list(pool.map(one, range(n)))
+
+    outs = {}
+    for depth in (2, 0):
+        server, batcher, warmed = build_serving_app(
+            analyzer, db=InMemoryDB(), port=0, max_batch=8, max_wait_ms=5.0,
+            pipeline_depth=depth, warm_buckets=(1, 2), warm_async=False,
+            log=lambda *_: None)
+        assert warmed.is_set()
+        serve_forever_in_thread(server)
+        try:
+            outs[depth] = post_all(server.server_address[1], 8)
+        finally:
+            server.shutdown()
+            batcher.close()
+    for res in outs[2]:
+        assert set(res) == {"is_interior", "interior_confidence", "analysis"}
+    assert outs[2] == outs[0]
+
+
 def test_rest_endpoints(db_with_images):
     server = make_server(db=db_with_images, port=0)  # ephemeral port
     port = server.server_address[1]

@@ -11,6 +11,9 @@ writes ``PARITY_REAL.md``:
 3. serving-config compound gate: bf16 + Pallas + int8 MLP/QKV weights vs
    the fp32 oracle (the exact bench.py configuration)
 4. attribute-F1 over interior_dataset.json labels (BASELINE tracked metric)
+5. REST serving burst: the full worker /analyze path (tools/rest_bench.py,
+   decode + dynamic batcher + device program) at 1 and 8 clients — weights
+   day yields parity + F1 + serving evidence in one run
 
 Usage:
     python tools/real_weights_gate.py --weights <hf-checkpoint-dir> \
@@ -154,6 +157,22 @@ def main():
     j = last_json(out)
     results["attribute_f1"] = {
         "status": "OK" if j else "FAIL",
+        "detail": j or (err[-400:] if rc else out[-400:]),
+    }
+
+    # 5. REST serving burst (round-3 VERDICT next-step #8: weights day
+    # produces the full story — parity + F1 + serving — in one run) --------
+    rest_cmd = [sys.executable, "tools/rest_bench.py", "--weights", weights,
+                "--clients", "1,8", "--per-client", "6",
+                "--max-wait-ms", "25"]
+    if args.platform:
+        rest_cmd += ["--platform", args.platform]
+    rc, out, err = run(rest_cmd, timeout=5400)
+    j = last_json(out)
+    ok = rc == 0 and j and j.get("value", 0) > 0 and (
+        j.get("best_point") or {}).get("errors", 1) == 0
+    results["rest_serving_burst"] = {
+        "status": "PASS" if ok else "FAIL",
         "detail": j or (err[-400:] if rc else out[-400:]),
     }
 

@@ -179,14 +179,38 @@ def main():
         _, s = classify(params, one, det_text, cat_text, cat_mask)
         float(s)
         lat.append(time.perf_counter() - t0)
-    log(f"p50 single-image latency: {sorted(lat)[len(lat)//2]*1e3:.1f} ms "
-        f"(p90 {sorted(lat)[int(len(lat)*0.9)]*1e3:.1f} ms)")
+    lat.sort()
+    p50_ms = lat[len(lat) // 2] * 1e3
+    log(f"p50 single-image latency: {p50_ms:.1f} ms "
+        f"(p90 {lat[int(len(lat)*0.9)]*1e3:.1f} ms)")
+
+    # Split transport from device time (round-3 VERDICT weak #4): in this
+    # container every dispatch+fetch pays a ~30 ms loopback-relay round trip
+    # that swamps the device-side latency. A null program (one scalar op on a
+    # resident array) measures that fixed transport cost; subtracting its p50
+    # estimates the device-only single-image latency a direct-attached host
+    # would see.
+    null = jax.jit(lambda x: x * 2.0 + 1.0)
+    tiny = jnp.zeros(())
+    float(null(tiny))
+    rtts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        float(null(tiny))
+        rtts.append(time.perf_counter() - t0)
+    rtts.sort()
+    rtt_ms = rtts[len(rtts) // 2] * 1e3
+    p50_device_ms = max(p50_ms - rtt_ms, 0.0)
+    log(f"p50 split: transport-inclusive {p50_ms:.1f} ms = relay RTT "
+        f"{rtt_ms:.1f} ms + device-only ~{p50_device_ms:.1f} ms")
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(ips_device, 1),
         "unit": "img/s",
         "vs_baseline": round(ips_device / 5000.0, 4),
+        "p50_ms": round(p50_ms, 1),
+        "p50_device_ms": round(p50_device_ms, 1),
     }))
 
 

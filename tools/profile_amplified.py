@@ -22,13 +22,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from aiic_tpu.models import VIT_B_16, init_clip_params
+    from aiic_tpu.models import (
+        VIT_B_16, VIT_B_32, VIT_L_14, VIT_L_14_336, init_clip_params,
+    )
     from aiic_tpu.models.clip import layer_norm, patchify, run_tower
     from aiic_tpu.engine.programs import classify_batch
     from aiic_tpu.ops.preprocess import normalize_u8
     from aiic_tpu.ops.quant import quantize_model
 
-    config = VIT_B_16
+    # AIIC_BENCH_MODEL selects the preset (same env contract as bench.py)
+    model = os.environ.get("AIIC_BENCH_MODEL", "vit_b_16")
+    config = {"vit_b_16": VIT_B_16, "vit_b_32": VIT_B_32,
+              "vit_l_14": VIT_L_14, "vit_l_14_336": VIT_L_14_336}[model]
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     inner = int(sys.argv[3]) if len(sys.argv) > 3 else 8
@@ -40,8 +45,9 @@ def main():
     v = params["visual"]
 
     rng = np.random.default_rng(0)
-    pixels = jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8))
-    seq = (224 // config.patch_size) ** 2 + 1
+    size = config.image_size
+    pixels = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8))
+    seq = (size // config.patch_size) ** 2 + 1
     x_tok = jnp.asarray(
         rng.standard_normal((batch, seq, config.vision.width)).astype(np.float32), dtype
     )
@@ -139,12 +145,12 @@ def main():
         print(f"{tag:38s} {per * 1e3:8.2f} ms/call  (loop {dt*1e3:6.1f} ms)  "
               f"-> {batch / per:.0f} img/s device", flush=True)
 
-    print(f"batch={batch} iters={iters} inner={inner} backend={jax.default_backend()}",
+    print(f"model={config.name} batch={batch} iters={iters} inner={inner} backend={jax.default_backend()}",
           flush=True)
     embed_chained("embed (u8 norm+patchify+pos+ln)")
-    timed_chained(attn_stack, "12x attention half-block int8")
-    timed_chained(mlp_stack, "12x MLP half-block int8")
-    timed_chained(tower_stack, "12x full blocks (tower scan)")
+    timed_chained(attn_stack, f"{len(v['blocks']['ln1']['scale'])}x attention half-block int8")
+    timed_chained(mlp_stack, f"{len(v['blocks']['ln1']['scale'])}x MLP half-block int8")
+    timed_chained(tower_stack, f"{len(v['blocks']['ln1']['scale'])}x full blocks (tower scan)")
     full_chained("FULL classify program")
 
 

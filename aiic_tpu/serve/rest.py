@@ -42,6 +42,13 @@ def make_server(
     db = db if db is not None else InMemoryDB()
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: the default HTTP/1.0 closes the connection
+        # after every response, so load-balancer/SDK clients reusing
+        # connections hit resets under concurrency (measured: 135/1465
+        # failed requests at 64 keep-alive clients) and every request pays
+        # TCP setup. Safe because _json always sends Content-Length.
+        protocol_version = "HTTP/1.1"
+
         def _json(self, obj, code: int = 200, headers: Optional[Dict[str, str]] = None):
             body = json.dumps(obj, ensure_ascii=False, default=str).encode("utf-8")
             self.send_response(code)

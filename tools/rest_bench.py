@@ -170,6 +170,15 @@ def main():
         from aiic_tpu.models.init import load_clip_weights
 
         params = load_clip_weights(args.weights, config)
+    # bench-local text cache: repeated invocations (depth/wait sweeps) skip
+    # the text-feature precompute. Keyed by everything that changes text
+    # features here (random-init seed is fixed; --weights runs stay uncached).
+    text_cache = None
+    if not args.weights:
+        os.makedirs(".aiic_cache", exist_ok=True)
+        text_cache = os.path.join(
+            ".aiic_cache",
+            f"rest_bench_text_{args.model}_{int(not args.no_quantize)}.npz")
     t0 = time.perf_counter()
     analyzer = InteriorAnalyzer(
         params=params,
@@ -177,6 +186,7 @@ def main():
         config=config, dtype=jnp.bfloat16,
         quantize=not args.no_quantize, wire_format=args.wire,
         max_batch=max(args.max_batch, 64),
+        text_cache=text_cache,
     )
     log(f"engine built in {time.perf_counter() - t0:.0f}s")
 

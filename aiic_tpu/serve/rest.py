@@ -138,7 +138,16 @@ def make_server(
             else:
                 self._json({"error": "not found"}, 404)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default accept backlog is 5; a 64-client burst
+        # overflows it and the overflow connections get RST (measured:
+        # 46/1554 failed requests at 64 keep-alive clients with no error
+        # anywhere else in the stack). daemon_threads so a hung client
+        # never blocks interpreter shutdown.
+        request_queue_size = 128
+        daemon_threads = True
+
+    return Server((host, port), Handler)
 
 
 def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:

@@ -88,6 +88,9 @@ class DynamicBatcher:
         self._stop = threading.Event()
         self._completions: Optional["queue.Queue"] = None
         self._completer: Optional[threading.Thread] = None
+        # dispatched-but-unresolved batches (int += / -= are GIL-atomic
+        # enough for the advisory busy check in _collect)
+        self._inflight = 0
         if fetch_batch is not None:
             self._completions = queue.Queue(maxsize=max(1, pipeline_depth))
             self._completer = threading.Thread(target=self._complete_loop, daemon=True)
@@ -134,6 +137,27 @@ class DynamicBatcher:
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
+                # Pipelined mode, device still busy: an under-full batch
+                # closed now could not START any sooner than the in-flight
+                # work completes, so closing early only fragments (measured:
+                # 64 lockstep clients' staggered resubmits fragmented into
+                # ~23-row batches, each paying its own dispatch round trip
+                # and bucket padding; avg_batch 23.3 vs 56.9 synchronous).
+                # Keep collecting until the pipeline drains or the batch
+                # fills; under continuous saturating load the pipeline never
+                # drains and batches close exactly when FULL.
+                if (self._completions is not None and self._inflight > 0
+                        and not self._stop.is_set()):
+                    # Blocking 20 ms waits, not a tight poll: on a 1-core
+                    # host a 2 ms spin here competes for the GIL with the
+                    # completer resolving futures and with client threads
+                    # resubmitting — measured to slow the very wave it is
+                    # trying to fill.
+                    try:
+                        batch.append(self._q.get(timeout=0.02))
+                    except queue.Empty:
+                        pass
+                    continue
                 break
             try:
                 batch.append(self._q.get(timeout=remaining))
@@ -191,6 +215,7 @@ class DynamicBatcher:
                     self._fail(futures, e)
                     continue
                 # blocks when pipeline_depth batches are already in flight
+                self._inflight += 1
                 self._completions.put((handle, futures, t0))
                 continue
             try:
@@ -226,6 +251,8 @@ class DynamicBatcher:
                     len(futures), self.max_batch, time.perf_counter() - t0)
             except Exception as e:
                 self._fail(futures, e)
+            finally:
+                self._inflight -= 1
 
     def _with_deadline(self, call: Callable[[], Sequence[Any]], n: int):
         """Run ``call`` on a fresh daemon thread, wait at most batch_timeout."""

@@ -149,6 +149,41 @@ def test_dynamic_batcher_pipelined_overlaps_and_matches_sync():
     assert order[:first_fetch_end].count("dispatch") >= 2, order
 
 
+def test_dynamic_batcher_pipelined_coalesces_while_device_busy():
+    """Anti-fragmentation rule: while a dispatched batch is still in
+    flight, an under-full batch is NOT closed at max_wait (it could not
+    start any sooner anyway) — staggered arrivals coalesce into one big
+    batch instead of a trickle of fragments (the measured 64-lockstep-
+    client failure mode)."""
+    sizes = []
+
+    def dispatch(items):
+        sizes.append(items.shape[0])
+        return [float(x.sum()) for x in items]
+
+    def fetch(handle):
+        time.sleep(0.25)  # long device service time
+        return handle
+
+    b = DynamicBatcher(dispatch, fetch_batch=fetch, pipeline_depth=2,
+                       max_batch=16, max_wait_ms=10.0)
+    items = [np.full((2, 2), i, np.float32) for i in range(9)]
+    futs = [b.submit(items[0])]
+    time.sleep(0.05)  # first batch (size 1) dispatched and now in flight
+    # stagger 8 more submissions across 80 ms — far beyond max_wait
+    for x in items[1:]:
+        futs.append(b.submit(x))
+        time.sleep(0.01)
+    results = [f.result(timeout=10) for f in futs]
+    assert results == [float(x.sum()) for x in items]
+    b.close()
+    # without the rule this fragments into ~4 batches of ~2 (10 ms waves);
+    # with it, everything that arrived while batch 1 was in flight forms
+    # ONE follow-up batch
+    assert sizes[0] == 1
+    assert max(sizes[1:]) >= 7, sizes
+
+
 def test_dynamic_batcher_pipelined_fetch_error_propagates():
     def dispatch(items):
         return items
@@ -198,7 +233,18 @@ def test_serving_app_pipelined_matches_sync(analyzer, ref_root):
             batcher.close()
     for res in outs[2]:
         assert set(res) == {"is_interior", "interior_confidence", "analysis"}
-    assert outs[2] == outs[0]
+    # all 8 requests carry the same payload; responses must agree across
+    # modes up to bucket-composition float jitter (a request that lands in
+    # a 1-row vs 8-row padded bucket sees ~1e-6 matmul-tiling differences)
+    ref = outs[0][0]
+    for res in outs[2] + outs[0]:
+        assert res["is_interior"] == ref["is_interior"]
+        np.testing.assert_allclose(res["interior_confidence"],
+                                   ref["interior_confidence"], atol=1e-4)
+        for cat, top in res["analysis"].items():
+            for (name_a, p_a), (name_b, p_b) in zip(top, ref["analysis"][cat]):
+                assert name_a == name_b
+                np.testing.assert_allclose(p_a, p_b, atol=1e-4)
 
 
 def test_rest_endpoints(db_with_images):

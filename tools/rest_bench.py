@@ -36,14 +36,14 @@ def run_load_point(port, payloads, clients, per_client, timeout=120.0):
     """clients threads x per_client sequential requests over keep-alive
     connections. Returns (latencies sorted, wall seconds, errors)."""
     lats = []
-    errors = []
+    error_kinds: dict = {}
     lock = threading.Lock()
     start_gate = threading.Barrier(clients + 1)
 
     def client(ci):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
         mine = []
-        my_err = 0
+        my_err: dict = {}
         start_gate.wait()
         for i in range(per_client):
             body = payloads[(ci * per_client + i) % len(payloads)]
@@ -53,17 +53,20 @@ def run_load_point(port, payloads, clients, per_client, timeout=120.0):
                 resp = conn.getresponse()
                 data = resp.read()
                 if resp.status != 200 or b"error" in data[:60]:
-                    my_err += 1
+                    kind = f"http_{resp.status}"
+                    my_err[kind] = my_err.get(kind, 0) + 1
                 else:
                     mine.append(time.perf_counter() - t0)
-            except Exception:
-                my_err += 1
+            except Exception as e:
+                kind = type(e).__name__
+                my_err[kind] = my_err.get(kind, 0) + 1
                 conn.close()
                 conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
         conn.close()
         with lock:
             lats.extend(mine)
-            errors.append(my_err)
+            for k, v in my_err.items():
+                error_kinds[k] = error_kinds.get(k, 0) + v
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
     for t in threads:
@@ -74,14 +77,15 @@ def run_load_point(port, payloads, clients, per_client, timeout=120.0):
         t.join()
     wall = time.perf_counter() - t0
     lats.sort()
-    return lats, wall, sum(errors)
+    return lats, wall, error_kinds
 
 
 def summarize(tag, lats, wall, errs, clients, snap0, snap1, extra=None):
     n = len(lats)
+    n_err = sum(errs.values()) if isinstance(errs, dict) else errs
     if n == 0:
         out = {"tag": tag, "clients": clients, "error": "all requests failed",
-               "errors": errs}
+               "errors": n_err, "error_kinds": errs}
         print(json.dumps(out), flush=True)
         return out
     batches = snap1.get("batches_total", 0) - snap0.get("batches_total", 0)
@@ -90,13 +94,15 @@ def summarize(tag, lats, wall, errs, clients, snap0, snap1, extra=None):
         "tag": tag,
         "clients": clients,
         "requests": n,
-        "errors": errs,
+        "errors": n_err,
         "qps": round(n / wall, 1),
         "p50_ms": round(lats[n // 2] * 1e3, 1),
         "p95_ms": round(lats[int(n * 0.95)] * 1e3, 1),
         "p99_ms": round(lats[min(n - 1, int(n * 0.99))] * 1e3, 1),
         "avg_batch": round(images / batches, 1) if batches else 0,
     }
+    if isinstance(errs, dict) and errs:
+        out["error_kinds"] = errs
     if extra:
         out.update(extra)
     print(json.dumps(out), flush=True)

@@ -98,18 +98,26 @@ class PrefetchingLoader:
         return _stream(produce, self.depth)
 
 
+_fetch_tls = threading.local()
+
+
 def fetch_source(source: Union[str, bytes]) -> bytes:
     """One byte source -> raw bytes (b"" on failure — the decode stage's ok
     mask then records a load error for that index). Sources: http(s) URLs
     (the reference's production shape, main.py:121-128 — same 30 s timeout),
-    local paths, or pass-through raw bytes."""
+    local paths, or pass-through raw bytes. HTTP fetches reuse a
+    thread-local keep-alive session, so each fetch-pool worker holds one
+    connection per host instead of paying TCP (+TLS) setup per image."""
     if isinstance(source, (bytes, bytearray)):
         return bytes(source)
     try:
         if source.startswith("http"):
             import requests
 
-            r = requests.get(source, timeout=30.0)
+            session = getattr(_fetch_tls, "session", None)
+            if session is None:
+                session = _fetch_tls.session = requests.Session()
+            r = session.get(source, timeout=30.0)
             r.raise_for_status()
             return r.content
         with open(source, "rb") as f:

@@ -73,6 +73,9 @@ def main(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=10.0,
                    help="max time the oldest queued request waits before its "
                         "batch closes (the occupancy/latency knob)")
+    p.add_argument("--max-batch-items", type=int, default=1024,
+                   help="max images one POST /analyze-batch request may "
+                        "carry (urls + images_b64)")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="dispatched-but-unfetched batches kept in flight "
                         "(overlaps device compute/result fetch with the next "
@@ -214,9 +217,11 @@ def main(argv=None):
             fast_decode=args.fast_decode,
             wire_format=args.wire_format,
             pipeline_depth=args.pipeline_depth,
+            max_batch_items=args.max_batch_items,
         )
         print(f"serving on :{args.port} (endpoints: /health /ready /apartments "
-              f"/process-pending /process/:id /results /export /metrics, POST /analyze)")
+              f"/process-pending /process/:id /results /export /metrics, "
+              f"POST /analyze, POST /analyze-batch)")
         try:
             server.serve_forever()
         except KeyboardInterrupt:

@@ -457,6 +457,36 @@ class InteriorAnalyzer:
             outs = [{k: np.asarray(v)[:valid] for k, v in res.items()} for res, valid in pending]
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]} if outs else {}
 
+    def _consume_loader(self, loader, image_paths, cap, good_paths,
+                        record_load_error) -> Optional[Dict[str, np.ndarray]]:
+        """Drain a prefetching loader (PrefetchingLoader or ByteStreamLoader
+        — same (pixels, ok, index-range) batch protocol): record per-path
+        load errors, dispatch the kept rows, fetch once at the end. One copy
+        of the dispatch/record logic keeps load-error/reason-string parity
+        identical across the local-JPEG and byte-stream paths. Returns the
+        merged classify results, or None when nothing decoded."""
+        pending: List[tuple] = []
+        it = iter(loader)
+        while True:
+            # decode_stall = time the device pipeline sat idle waiting on
+            # the host decoder (0 when decode fully overlaps compute).
+            with self.metrics.stages.stage("decode_stall"):
+                item = next(it, None)
+            if item is None:
+                break
+            pixels_u8, ok, (start, end) = item
+            for j in range(start, end):
+                if ok[j - start]:
+                    good_paths.append(image_paths[j])
+                else:
+                    record_load_error(image_paths[j])
+            kept = pixels_u8[ok]
+            if len(kept):
+                pending.append(self._dispatch_chunk(kept, cap))
+        if not pending:
+            return None
+        return self._fetch_pending(pending)
+
     # ------------------------------------------------------------------
     # Host orchestration (reference-schema results)
     # ------------------------------------------------------------------
@@ -537,79 +567,43 @@ class InteriorAnalyzer:
             )
             if res is None:
                 return results
-        elif local_jpegs:
-            from aiic_tpu.data.pipeline import PrefetchingLoader
-
-            cap = batch_size or self.max_batch
-            loader = PrefetchingLoader(
-                list(image_paths), batch_size=cap, size=self.config.image_size,
-                fast=fast_decode,
-                # patch wire: the C++ decode pool emits patch-major directly,
-                # so the wire repack costs nothing on this path
-                patch=self.config.patch_size if self.wire_format == "patch" else 0,
-            )
-            pending: List[tuple] = []
-            it = iter(loader)
-            while True:
-                # decode_stall = time the device pipeline sat idle waiting on
-                # the host decoder (0 when decode fully overlaps compute).
-                with self.metrics.stages.stage("decode_stall"):
-                    item = next(it, None)
-                if item is None:
-                    break
-                pixels_u8, ok, (start, end) = item
-                for j in range(start, end):
-                    if ok[j - start]:
-                        good_paths.append(image_paths[j])
-                    else:
-                        record_load_error(image_paths[j])
-                kept = pixels_u8[ok]
-                if len(kept):
-                    pending.append(self._dispatch_chunk(kept, cap))
-            if not pending:
-                return results
-            res = self._fetch_pending(pending)
         else:
-            # URL / mixed-format / mixed-location inputs: STREAMED byte
-            # pipeline (round-3 VERDICT weak #2 — previously these corpora
-            # fetched+decoded the ENTIRE job before the first device
-            # dispatch). ByteStreamLoader three-stage pipelines the
-            # reference's production workload (CSV of offer URLs,
-            # main.py:516-524): a max_workers-wide fetch pool downloads
-            # batch i+1 while the native pool decodes batch i (PIL-exact
-            # for JPEG, per-blob Python fallback for PNG/WebP/...;
-            # fast_decode = DCT-scaled decode, downloads included) and
-            # batch i-1 computes on the device. decode_stall measures the
-            # residual time the device pipeline waited on the host.
-            from aiic_tpu.data.pipeline import ByteStreamLoader
-
             cap = batch_size or self.max_batch
-            loader = ByteStreamLoader(
-                list(image_paths), batch_size=cap,
-                size=self.config.image_size, fetch_workers=max_workers,
-                fast=fast_decode,
-                patch=self.config.patch_size
-                if self.wire_format == "patch" else 0,
-            )
-            pending: List[tuple] = []
-            it = iter(loader)
-            while True:
-                with self.metrics.stages.stage("decode_stall"):
-                    item = next(it, None)
-                if item is None:
-                    break
-                pixels_u8, ok, (start, end) = item
-                for j in range(start, end):
-                    if ok[j - start]:
-                        good_paths.append(image_paths[j])
-                    else:
-                        record_load_error(image_paths[j])
-                kept = pixels_u8[ok]
-                if len(kept):
-                    pending.append(self._dispatch_chunk(kept, cap))
-            if not pending:
+            wire_patch = (self.config.patch_size
+                          if self.wire_format == "patch" else 0)
+            if local_jpegs:
+                # Local JPEGs: double-buffered native C++ decode+resize
+                # pipeline — batch i+1 decodes on the host while batch i
+                # computes on the device. The C++ pool emits the patch-major
+                # wire directly, so the wire repack costs nothing here.
+                from aiic_tpu.data.pipeline import PrefetchingLoader
+
+                loader = PrefetchingLoader(
+                    list(image_paths), batch_size=cap,
+                    size=self.config.image_size, fast=fast_decode,
+                    patch=wire_patch,
+                )
+            else:
+                # URL / mixed-format / mixed-location inputs: STREAMED byte
+                # pipeline (round-3 VERDICT weak #2). ByteStreamLoader
+                # three-stage pipelines the reference's production workload
+                # (CSV of offer URLs, main.py:516-524): a max_workers-wide
+                # fetch pool downloads batch i+1 while the native pool
+                # decodes batch i (PIL-exact for JPEG, per-blob Python
+                # fallback for PNG/WebP/...; fast_decode = DCT-scaled
+                # decode, downloads included) and batch i-1 computes on the
+                # device.
+                from aiic_tpu.data.pipeline import ByteStreamLoader
+
+                loader = ByteStreamLoader(
+                    list(image_paths), batch_size=cap,
+                    size=self.config.image_size, fetch_workers=max_workers,
+                    fast=fast_decode, patch=wire_patch,
+                )
+            res = self._consume_loader(
+                loader, image_paths, cap, good_paths, record_load_error)
+            if res is None:
                 return results
-            res = self._fetch_pending(pending)
 
         for row, path in enumerate(good_paths):
             conf = float(res["interior_mass"][row])

@@ -30,19 +30,37 @@ def make_run_batch(analyzer, confidence: float, max_batch: int,
                    pipeline_depth: int) -> Tuple[Callable, Optional[Callable]]:
     """(run_batch, fetch_batch) for DynamicBatcher over the analyzer.
     fetch_batch is None when pipeline_depth == 0 (synchronous mode)."""
+    from aiic_tpu.engine.detector import DETECTOR_CATEGORIES
 
     def assemble(res, n: int):
-        return [
-            {
-                "is_interior": bool(
-                    res["interior_mass"][i] > res["non_interior_mass"][i]
-                    and res["top_conf"][i] > confidence
-                ),
-                "interior_confidence": float(res["interior_mass"][i]),
-                "analysis": analyzer._assemble_analysis(res, i),
-            }
-            for i in range(n)
-        ]
+        # Full reference result contract (main.py:383-391, 461-467): all
+        # five keys on every REST result, same strings as the batch CLI.
+        out = []
+        for i in range(n):
+            conf = float(res["interior_mass"][i])
+            category = DETECTOR_CATEGORIES[int(res["top_idx"][i])]
+            is_interior = bool(
+                res["interior_mass"][i] > res["non_interior_mass"][i]
+                and res["top_conf"][i] > confidence
+            )
+            if is_interior:
+                out.append({
+                    "is_interior": True,
+                    "interior_confidence": conf,
+                    "detected_category": "interior",
+                    "analysis": analyzer._assemble_analysis(res, i),
+                    "reason": "Success - interior image analyzed",
+                })
+            else:
+                out.append({
+                    "is_interior": False,
+                    "interior_confidence": conf,
+                    "detected_category": category,
+                    "analysis": {},
+                    "reason": f"Nie wnętrze: {category} "
+                              f"(confidence: {conf:.3f})",
+                })
+        return out
 
     if pipeline_depth <= 0:
         def run_batch_sync(pixels):
@@ -71,19 +89,12 @@ def make_analyze_bytes(
     wire_format: str = "hwc",
     on_dead_letter: Optional[Callable[[int], None]] = None,
 ) -> Callable[[bytes], Dict[str, Any]]:
-    """bytes -> result dict: decode on the handler thread (native pool,
-    PIL fallback for non-JPEG), submit the uint8 crop to the batcher, wait
-    bounded by ``request_timeout``."""
-    from aiic_tpu.data.images import decode_image_bytes
-    from aiic_tpu.data.native_loader import native_available, preprocess_jpeg_batch
-    from aiic_tpu.data.preprocess import (
-        center_crop_bounds,
-        resize_bicubic_numpy,
-        resize_target,
-    )
+    """bytes -> result dict: decode on the handler thread (native pool for
+    JPEG, per-blob Python fallback for PNG/WebP/...), submit the uint8 crop
+    to the batcher, wait bounded by ``request_timeout``."""
+    from aiic_tpu.data.native_loader import preprocess_any_batch
     from aiic_tpu.serve.metrics import GLOBAL_METRICS
 
-    use_native = native_available()
     size = analyzer.config.image_size
     # patch wire: the native decode emits patch-major directly; the
     # non-JPEG fallback crop gets the Python repack
@@ -114,32 +125,127 @@ def make_analyze_bytes(
         # All batcher items are uint8 (normalize fused on device); a mixed
         # uint8/float batch would silently corrupt under np.stack.
         with GLOBAL_METRICS.stages.stage("serve_decode"):
-            crop = None
-            # preprocess_jpeg_batch has its own Python fallback, so call
-            # it even without the native library — --fast-decode then
-            # rides PIL's draft mode instead of silently doing nothing.
-            if use_native or fast_decode:
-                pixels, ok = preprocess_jpeg_batch(
-                    [data], size, fast=fast_decode, patch=wire_patch)
-                if ok[0]:
-                    crop = pixels[0]
-            if crop is None:
-                arr = decode_image_bytes(data)  # non-JPEG fallback (PNG, ...)
-                if arr is None:
-                    return {"error": "could not decode image"}
-                h, w = arr.shape[:2]
-                nw, nh = resize_target(w, h, size)
-                res = resize_bicubic_numpy(arr, nw, nh)
-                top, left = center_crop_bounds(nw, nh, size)
-                crop = res[max(top, 0): max(top, 0) + size,
-                           max(left, 0): max(left, 0) + size].astype(np.uint8)
-                if wire_patch:
-                    from aiic_tpu.ops.preprocess import to_patch_major
-
-                    crop = to_patch_major(crop[None], wire_patch)[0]
-        return _submit(crop)
+            pixels, ok = preprocess_any_batch(
+                [data], size, fast=fast_decode, patch=wire_patch)
+            if not ok[0]:
+                return {"error": "could not decode image"}
+        return _submit(pixels[0])
 
     return analyze_bytes
+
+
+def make_analyze_batch(
+    analyzer,
+    batcher,
+    *,
+    request_timeout: float = 30.0,
+    fast_decode: bool = False,
+    wire_format: str = "hwc",
+    max_items: int = 1024,
+    fetch_workers: int = 8,
+    on_dead_letter: Optional[Callable[[int], None]] = None,
+) -> Callable[[Dict[str, Any]], Dict[str, Any]]:
+    """Multi-image ingestion: one POST carries a whole image list, so the
+    per-request HTTP+JSON overhead (~15 ms on this 1-core host — the
+    dominant cost of the single-image protocol, round-4 SERVE_BENCH ledger)
+    amortizes over the batch. This is the reference's actual production
+    shape: a CSV of offer URLs (main.py:516-524) and per-apartment image
+    lists (main_API.py:164-213), which its REST surface never exposed.
+
+    Payload: ``{"urls": [...]}`` and/or ``{"images_b64": [...]}`` (raw
+    image bytes, base64). Returns ``{"results": [...]}`` in request order
+    (urls first), each entry the full five-key reference result dict;
+    fetch/decode failures get the reference's load-error record
+    (main.py:420-426) instead of failing the whole request."""
+    import base64
+    import concurrent.futures
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aiic_tpu.data.native_loader import preprocess_any_batch
+    from aiic_tpu.data.pipeline import fetch_source
+    from aiic_tpu.serve.metrics import GLOBAL_METRICS
+
+    size = analyzer.config.image_size
+    wire_patch = analyzer.config.patch_size if wire_format == "patch" else 0
+
+    LOAD_ERROR = {
+        "is_interior": False,
+        "interior_confidence": 0.0,
+        "detected_category": "load error",
+        "analysis": {},
+        "reason": "Błąd ładowania: could not load image",
+    }
+
+    def dead_letter(n):
+        if on_dead_letter is not None:
+            on_dead_letter(n)
+
+    def analyze_batch(payload: Dict[str, Any]) -> Dict[str, Any]:
+        urls = payload.get("urls") or []
+        b64 = payload.get("images_b64") or []
+        if not isinstance(urls, list) or not isinstance(b64, list):
+            raise ValueError("'urls' and 'images_b64' must be JSON arrays")
+        n = len(urls) + len(b64)
+        if n == 0:
+            return {"results": []}
+        if n > max_items:
+            raise ValueError(
+                f"batch of {n} exceeds max_items={max_items}; split the request"
+            )
+
+        with GLOBAL_METRICS.stages.stage("serve_fetch"):
+            blobs: list = [b""] * n
+            if urls:
+                with ThreadPoolExecutor(
+                    max_workers=min(fetch_workers, len(urls))
+                ) as pool:
+                    blobs[: len(urls)] = list(pool.map(fetch_source, urls))
+            for j, s in enumerate(b64):
+                try:
+                    blobs[len(urls) + j] = base64.b64decode(s)
+                except Exception:
+                    blobs[len(urls) + j] = b""
+
+        with GLOBAL_METRICS.stages.stage("serve_decode"):
+            # Whole-request decode through the native pool (JPEG) with the
+            # per-blob Python fallback for PNG/WebP/... — same numerics as
+            # the CLI byte path.
+            pixels, ok = preprocess_any_batch(
+                blobs, size, fast=fast_decode, patch=wire_patch)
+
+        futs = []
+        try:
+            for i in range(n):
+                futs.append(batcher.submit(pixels[i]) if ok[i] else None)
+        except Exception:
+            for f in futs:
+                if f is not None:
+                    f.cancel()
+            raise
+
+        deadline = time.monotonic() + request_timeout
+        results = []
+        try:
+            for f in futs:
+                if f is None:
+                    results.append(dict(LOAD_ERROR))
+                    continue
+                remaining = deadline - time.monotonic()
+                results.append(f.result(timeout=max(remaining, 0.0)))
+        except (TimeoutError, concurrent.futures.TimeoutError) as e:
+            n_cancelled = 0
+            for f in futs:
+                if f is not None and not f.done():
+                    f.cancel()
+                    n_cancelled += 1
+            dead_letter(n_cancelled)
+            raise TimeoutError(
+                f"batch request exceeded {request_timeout}s"
+            ) from e
+        return {"results": results}
+
+    return analyze_batch
 
 
 def build_serving_app(
@@ -156,8 +262,9 @@ def build_serving_app(
     fast_decode: bool = False,
     wire_format: str = "hwc",
     pipeline_depth: int = 2,
-    warm_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+    warm_buckets: Optional[Sequence[int]] = None,
     warm_async: bool = True,
+    max_batch_items: int = 1024,
     log: Callable[[str], None] = print,
 ):
     """Assemble the full serving stack. Returns (server, batcher, warmed):
@@ -169,6 +276,16 @@ def build_serving_app(
 
     def dead_letter(n):
         GLOBAL_METRICS.inc("analyze_dead_letters_total", n)
+        # persist a queryable record too (GET /dead-letters), not only the
+        # counter; REST requests have no DB image id, so the record carries
+        # the count and source
+        if db is not None and hasattr(db, "record_dead_letter"):
+            try:
+                db.record_dead_letter(
+                    None, f"analyze request timed out ({n} image(s))",
+                    source="rest", count=n)
+            except Exception:  # noqa: BLE001 - observability must not 500
+                pass
 
     run_batch, fetch_batch = make_run_batch(
         analyzer, confidence, max_batch, pipeline_depth)
@@ -183,6 +300,11 @@ def build_serving_app(
         fast_decode=fast_decode, wire_format=wire_format,
         on_dead_letter=dead_letter,
     )
+    analyze_batch = make_analyze_batch(
+        analyzer, batcher, request_timeout=request_timeout,
+        fast_decode=fast_decode, wire_format=wire_format,
+        max_items=max_batch_items, on_dead_letter=dead_letter,
+    )
 
     # Serve immediately; warm (text cache + bucket precompile) in the
     # background and flip /ready when done — load balancers gate on
@@ -190,7 +312,18 @@ def build_serving_app(
     warmed = threading.Event()
 
     def _warm():
-        buckets = [b for b in warm_buckets if b <= max_batch]
+        if warm_buckets is None:
+            # derive from max_batch so a --max-batch above the old fixed
+            # tuple's 64 cap still precompiles its full bucket (a cold
+            # full-batch XLA compile after /ready flips true takes ~60 s
+            # and would dead-letter the whole batch)
+            buckets, b = [], 1
+            while b < max_batch:
+                buckets.append(b)
+                b <<= 1
+            buckets.append(max_batch)
+        else:
+            buckets = [b for b in warm_buckets if b <= max_batch]
         log(f"warming classify buckets {buckets}...")
         for attempt in (1, 2):
             try:
@@ -208,6 +341,7 @@ def build_serving_app(
         threading.Thread(target=_warm, daemon=True).start()
     else:
         _warm()
-    server = make_server(db=db, analyze_fn=analyze_bytes, port=port, host=host,
+    server = make_server(db=db, analyze_fn=analyze_bytes,
+                         analyze_batch_fn=analyze_batch, port=port, host=host,
                          ready_fn=warmed.is_set)
     return server, batcher, warmed

@@ -78,6 +78,7 @@ class DynamicBatcher:
         self.batch_timeout = batch_timeout_s
         self._on_timeout = on_timeout
         self.max_queue = max_queue
+        self.pipeline_depth = max(1, pipeline_depth)
         if metrics is None:
             from aiic_tpu.serve.metrics import GLOBAL_METRICS
 
@@ -143,10 +144,14 @@ class DynamicBatcher:
                 # 64 lockstep clients' staggered resubmits fragmented into
                 # ~23-row batches, each paying its own dispatch round trip
                 # and bucket padding; avg_batch 23.3 vs 56.9 synchronous).
-                # Keep collecting until the pipeline drains or the batch
-                # fills; under continuous saturating load the pipeline never
-                # drains and batches close exactly when FULL.
-                if (self._completions is not None and self._inflight > 0
+                # Keep collecting until a PIPELINE SLOT frees or the batch
+                # fills; under continuous saturating load no slot frees and
+                # batches close exactly when FULL. Waiting for a free slot
+                # (not full drain) keeps dispatch/fetch overlap: with depth 2
+                # and one straggler in flight, the second slot can start this
+                # batch immediately — holding it longer only adds latency.
+                if (self._completions is not None
+                        and self._inflight >= self.pipeline_depth
                         and not self._stop.is_set()):
                     # Blocking 20 ms waits, not a tight poll: on a 1-core
                     # host a 2 ms spin here competes for the GIL with the
@@ -208,9 +213,18 @@ class DynamicBatcher:
             futures = [b[1] for b in batch]
             t0 = time.perf_counter()
             if self._completions is not None:
-                # pipelined: dispatch here, resolve in the completer thread
+                # pipelined: dispatch here, resolve in the completer thread.
+                # The dispatch half gets the same hard deadline as the fetch
+                # half — a hung dispatch (relay stall, cold-bucket compile)
+                # otherwise wedges the collector forever and every queued
+                # request behind it, violating batch_timeout's no-wedge
+                # contract.
                 try:
-                    handle = self._run_batch(items)
+                    if self.batch_timeout is None:
+                        handle = self._run_batch(items)
+                    else:
+                        handle = self._with_deadline(
+                            lambda: self._run_batch(items), len(futures))
                 except Exception as e:
                     self._fail(futures, e)
                     continue

@@ -31,6 +31,7 @@ class InMemoryDB:
         self.apartments: Dict[Any, Dict[str, Any]] = {}
         self.images: Dict[Any, Dict[str, Any]] = {}
         self.analysis_results: Dict[Any, Dict[str, Any]] = {}
+        self.dead_letters: List[Dict[str, Any]] = []
 
     # -- writes used by seeders/tests --------------------------------------
     def insert_apartment(self, _id, title="", **kw):
@@ -65,6 +66,18 @@ class InMemoryDB:
         ]
         return {"id": apt["_id"], "title": apt.get("title", ""), "images": images}
 
+    def get_images_for_apartment(self, apartment_id,
+                                 statuses=None) -> List[Dict[str, Any]]:
+        """ALL images of an apartment (optionally filtered by status) — the
+        read the worker's aggregate uses so a restart mid-apartment still
+        produces totals over the whole apartment, not just the re-drained
+        remainder (crash-recovery, SURVEY.md §5c)."""
+        return [
+            dict(im) for im in self.images.values()
+            if im["apartment_id"] == apartment_id
+            and (statuses is None or im["analysis_status"] in statuses)
+        ]
+
     def update_image_analysis(self, image_id, room_type, style, confidence) -> None:
         im = self.images.get(image_id)
         if im is None:
@@ -81,7 +94,8 @@ class InMemoryDB:
         """Failure accounting with dead-lettering: after ``max_attempts``
         failed loads an image moves to 'failed' instead of being retried
         forever (the reference retries pending items indefinitely,
-        SURVEY.md §5c)."""
+        SURVEY.md §5c). The terminal failure also writes a queryable
+        dead-letter RECORD (not only a counter)."""
         im = self.images.get(image_id)
         if im is None:
             return
@@ -90,6 +104,26 @@ class InMemoryDB:
         im["last_error"] = error
         if attempts >= max_attempts:
             im["analysis_status"] = "failed"
+            self.record_dead_letter(image_id, error, source="worker",
+                                    attempts=attempts)
+
+    def record_dead_letter(self, image_id, error: str, source: str = "worker",
+                           **extra) -> None:
+        """Persist one dead-letter record so failed work is queryable
+        (GET /dead-letters) instead of existing only as a metrics counter."""
+        self.dead_letters.append({
+            "image_id": image_id, "error": str(error), "source": source,
+            "dead_lettered_at": datetime.now(), **extra,
+        })
+
+    def list_dead_letters(self) -> List[Dict[str, Any]]:
+        out = []
+        for d in self.dead_letters:
+            d = dict(d)
+            if isinstance(d.get("dead_lettered_at"), datetime):
+                d["dead_lettered_at"] = d["dead_lettered_at"].isoformat()
+            out.append(d)
+        return out
 
     def save_apartment_analysis(self, apartment_id, analysis_result: Dict[str, Any]) -> None:
         self.analysis_results[apartment_id] = {
@@ -141,6 +175,7 @@ class MongoDB:
         self.apartments = self.db.apartments
         self.images = self.db.images
         self.analysis_results = self.db.analysis_results
+        self.dead_letters = self.db.dead_letters
 
     # -- writes used by seeders/tests (same contract as InMemoryDB, so the
     # shared contract suite in tests/test_db_contract.py runs over both) ----
@@ -181,6 +216,12 @@ class MongoDB:
                                         "analysis_status": "pending"}))
         return {"id": apt["_id"], "title": apt.get("title", ""), "images": images}
 
+    def get_images_for_apartment(self, apartment_id, statuses=None):
+        q: Dict[str, Any] = {"apartment_id": apartment_id}
+        if statuses is not None:
+            q["analysis_status"] = {"$in": list(statuses)}
+        return list(self.images.find(q))
+
     def update_image_analysis(self, image_id, room_type, style, confidence):
         self.images.update_one({"_id": image_id}, {"$set": {
             "room_type": room_type, "style": style,
@@ -194,7 +235,24 @@ class MongoDB:
         update = {"attempts": attempts, "last_error": error}
         if attempts >= max_attempts:
             update["analysis_status"] = "failed"
+            self.record_dead_letter(image_id, error, source="worker",
+                                    attempts=attempts)
         self.images.update_one({"_id": image_id}, {"$set": update})
+
+    def record_dead_letter(self, image_id, error, source="worker", **extra):
+        self.dead_letters.insert_one({
+            "image_id": image_id, "error": str(error), "source": source,
+            "dead_lettered_at": datetime.now(), **extra,
+        })
+
+    def list_dead_letters(self):
+        out = []
+        for d in self.dead_letters.find():
+            d["_id"] = str(d["_id"])
+            if "dead_lettered_at" in d:
+                d["dead_lettered_at"] = d["dead_lettered_at"].isoformat()
+            out.append(d)
+        return out
 
     def save_apartment_analysis(self, apartment_id, analysis_result):
         self.analysis_results.update_one(

@@ -146,9 +146,28 @@ class ApartmentWorker:
                 "detection_confidence": float(res["interior_mass"][row]),
             })
 
+        # Aggregate over the DB's stored per-image results for the WHOLE
+        # apartment, not just this run's batch: a worker killed mid-apartment
+        # leaves k images completed; the restarted worker re-drains only the
+        # remaining pending ones, and this read folds the pre-crash results
+        # back into the totals — the crash-recovery story the reference only
+        # gestures at with `restart: always` (docker-compose.yml:8) + status
+        # fields (main_API.py:78-91).
+        if hasattr(self.db, "get_images_for_apartment"):
+            stored = self.db.get_images_for_apartment(apartment_id)
+            room_analyses = [
+                {"room_type": im.get("room_type", "unknown"),
+                 "style": im.get("style", "unknown"),
+                 "style_confidence": float(im.get("analysis_confidence", 0.0)),
+                 "detection_confidence": 1.0}
+                for im in stored if im.get("analysis_status") == "completed"
+            ]
+            total = len(stored)
+        else:  # duck-typed external DB without the recovery read
+            total = len(data["images"])
         result = {
             "apartment_id": apartment_id,
-            "total_images": len(data["images"]),
+            "total_images": total,
             "interior_images": len(room_analyses),
             "overall_style": self.calculate_dominant_style(room_analyses),
             "room_distribution": self.calculate_room_distribution(room_analyses),

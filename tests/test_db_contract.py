@@ -36,11 +36,11 @@ def db(request):
         pytest.skip("pymongo or a Mongo server is not available "
                     "(set AIIC_TEST_MONGO_URI)")
     d = MongoDB(uri)
-    # isolate: clear the three collections before and after
-    for coll in (d.apartments, d.images, d.analysis_results):
+    # isolate: clear the collections before and after
+    for coll in (d.apartments, d.images, d.analysis_results, d.dead_letters):
         coll.delete_many({})
     yield d
-    for coll in (d.apartments, d.images, d.analysis_results):
+    for coll in (d.apartments, d.images, d.analysis_results, d.dead_letters):
         coll.delete_many({})
 
 
@@ -134,3 +134,39 @@ def test_list_apartments(db):
     _seed(db)
     apts = db.list_apartments()
     assert {a["_id"] for a in apts} == {"apt1", "apt2"}
+
+
+def test_dead_letter_records_are_queryable(db):
+    """Round-4 VERDICT #3: a terminal failure persists a dead-letter RECORD
+    (image id, error, source, attempts) queryable via list_dead_letters —
+    not only a metrics counter."""
+    _seed(db)
+    for _ in range(3):
+        db.mark_image_attempt("img3", "load failed")
+    records = db.list_dead_letters()
+    assert len(records) == 1
+    rec = records[0]
+    assert rec["image_id"] == "img3"
+    assert rec["error"] == "load failed"
+    assert rec["source"] == "worker"
+    assert rec["attempts"] == 3
+    assert isinstance(rec["dead_lettered_at"], str)
+    # direct records (e.g. REST-path timeouts) are also queryable
+    db.record_dead_letter(None, "analyze request timed out", source="rest",
+                          count=2)
+    assert len(db.list_dead_letters()) == 2
+
+
+def test_get_images_for_apartment_statuses(db):
+    """The worker's restart-correct aggregate read: all images of an
+    apartment regardless of status, with optional status filtering."""
+    _seed(db)
+    db.update_image_analysis("img1", "kuchnia", "nowoczesny", 0.8)
+    allim = db.get_images_for_apartment("apt1")
+    assert {im["_id"] for im in allim} == {"img1", "img2"}
+    done = db.get_images_for_apartment("apt1", statuses=("completed",))
+    assert [im["_id"] for im in done] == ["img1"]
+    assert done[0]["room_type"] == "kuchnia"
+    assert done[0]["analysis_confidence"] == pytest.approx(0.8)
+    pending = db.get_images_for_apartment("apt1", statuses=("pending",))
+    assert [im["_id"] for im in pending] == ["img2"]

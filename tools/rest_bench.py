@@ -80,6 +80,61 @@ def run_load_point(port, payloads, clients, per_client, timeout=120.0):
     return lats, wall, error_kinds
 
 
+def run_batch_load_point(port, bodies, clients, per_client, timeout=300.0):
+    """Like run_load_point but POSTs prebuilt JSON bodies to /analyze-batch
+    (the multi-image protocol). Returns (latencies, wall, errors, images_ok)
+    where images_ok counts result entries actually returned."""
+    lats = []
+    error_kinds: dict = {}
+    images_ok = [0]
+    lock = threading.Lock()
+    start_gate = threading.Barrier(clients + 1)
+
+    def client(ci):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+        mine = []
+        my_images = 0
+        my_err: dict = {}
+        start_gate.wait()
+        for i in range(per_client):
+            body = bodies[(ci * per_client + i) % len(bodies)]
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", "/analyze-batch", body=body,
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                data = resp.read()
+                if resp.status != 200:
+                    kind = f"http_{resp.status}"
+                    my_err[kind] = my_err.get(kind, 0) + 1
+                else:
+                    mine.append(time.perf_counter() - t0)
+                    my_images += len(json.loads(data)["results"])
+            except Exception as e:
+                kind = type(e).__name__
+                my_err[kind] = my_err.get(kind, 0) + 1
+                conn.close()
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=timeout)
+        conn.close()
+        with lock:
+            lats.extend(mine)
+            images_ok[0] += my_images
+            for k, v in my_err.items():
+                error_kinds[k] = error_kinds.get(k, 0) + v
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+    for t in threads:
+        t.start()
+    start_gate.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lats.sort()
+    return lats, wall, error_kinds, images_ok[0]
+
+
 def summarize(tag, lats, wall, errs, clients, snap0, snap1, extra=None):
     n = len(lats)
     n_err = sum(errs.values()) if isinstance(errs, dict) else errs
@@ -123,6 +178,11 @@ def main():
     ap.add_argument("--sweep-wait", default="",
                     help="comma list of max_wait_ms values to sweep at the "
                          "largest client count (rebuilds the batcher only)")
+    ap.add_argument("--batch-images", type=int, default=0,
+                    help="N > 0: also drive POST /analyze-batch with N "
+                         "base64 images per request (the multi-image "
+                         "protocol that amortizes per-request HTTP+JSON "
+                         "overhead) and report images/sec")
     ap.add_argument("--limit-images", type=int, default=64)
     ap.add_argument("--weights", help="backbone checkpoint (.npz/.pt/HF dir); "
                                       "default random init")
@@ -227,6 +287,36 @@ def main():
             extra={"max_wait_ms": args.max_wait_ms,
                    "pipeline_depth": args.pipeline_depth}))
 
+    if args.batch_images > 0:
+        import base64
+
+        nper = args.batch_images
+        # rotate the corpus across prebuilt bodies (b64 encode outside the
+        # timed loop: it's client-side cost, identical for every protocol)
+        bodies = []
+        for start in range(0, max(len(payloads), 1)):
+            chunk = [payloads[(start + j) % len(payloads)] for j in range(nper)]
+            bodies.append(json.dumps({
+                "images_b64": [base64.b64encode(b).decode() for b in chunk]
+            }).encode())
+            if len(bodies) >= 16:
+                break
+        for clients in client_counts:
+            # hold total image count comparable to the single-image points
+            per_client = max(1, (args.per_client + nper - 1) // nper)
+            snap0 = GLOBAL_METRICS.snapshot()
+            lats, wall, errs, images_ok = run_batch_load_point(
+                port, bodies, clients, per_client)
+            snap1 = GLOBAL_METRICS.snapshot()
+            out = summarize(
+                f"batch{nper}_c{clients}", lats, wall, errs, clients,
+                snap0, snap1,
+                extra={"images_per_request": nper,
+                       "img_per_s": round(images_ok / wall, 1),
+                       "max_wait_ms": args.max_wait_ms,
+                       "pipeline_depth": args.pipeline_depth})
+            results.append(out)
+
     if args.sweep_wait:
         server.shutdown()
         batcher.close()
@@ -246,14 +336,20 @@ def main():
             batcher.close()
         server = None
 
-    best = max((r for r in results if "qps" in r), key=lambda r: r["qps"],
-               default=None)
-    print(json.dumps({
+    best = max((r for r in results if "qps" in r and "img_per_s" not in r),
+               key=lambda r: r["qps"], default=None)
+    best_batch = max((r for r in results if "img_per_s" in r),
+                     key=lambda r: r["img_per_s"], default=None)
+    final = {
         "metric": "rest_serving_qps",
         "value": best["qps"] if best else 0.0,
         "unit": "req/s",
         "best_point": best,
-    }), flush=True)
+    }
+    if best_batch is not None:
+        final["batch_img_per_s"] = best_batch["img_per_s"]
+        final["best_batch_point"] = best_batch
+    print(json.dumps(final), flush=True)
     if server is not None:
         server.shutdown()
         batcher.close()

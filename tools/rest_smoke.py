@@ -89,6 +89,27 @@ def main():
             lats.append((time.perf_counter() - t0) * 1e3)
         lats.sort()
 
+        # batch protocol: one POST carries several images (round-5 surface)
+        import base64
+
+        breq = urllib.request.Request(
+            base + "/analyze-batch",
+            data=json.dumps({
+                "images_b64": [base64.b64encode(img).decode()] * 4
+            }).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(breq, timeout=60) as r:
+            batch_out = json.loads(r.read().decode())["results"]
+        batch_ms = (time.perf_counter() - t0) * 1e3
+        full_keys = {"is_interior", "interior_confidence", "detected_category",
+                     "analysis", "reason"}
+        schema_ok = (set(out) == full_keys
+                     and all(set(r) == full_keys for r in batch_out))
+
+        with urllib.request.urlopen(base + "/dead-letters", timeout=10) as r:
+            dl = json.loads(r.read().decode())
+
         with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
             metrics = json.loads(r.read().decode())
         stages = {k: v for k, v in metrics.items() if k.startswith("stage_")}
@@ -101,6 +122,11 @@ def main():
             "steady_p50_ms": round(lats[len(lats) // 2], 1),
             "no_cold_start_stall": first_ms < 5000.0,
             "is_interior": out.get("is_interior"),
+            "batch_results": len(batch_out),
+            "batch_ms": round(batch_ms, 1),
+            "full_reference_schema": schema_ok,
+            "dead_letters_queryable": "dead_letters" in dl,
+            "latency_quantiles_present": "analyze_p50_ms" in metrics,
             "stage_timings": stages,
             "stages_present": any(k.startswith("stage_serve_decode") for k in stages)
             and any(k.startswith("stage_dispatch") for k in stages),

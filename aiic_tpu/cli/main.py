@@ -31,31 +31,32 @@ def analyze_images_from_csv(
     out_path: str | None = None,
     fast_decode: bool = False,
     wire_format: str = "hwc",
+    analyzer=None,
+    engine: "EngineArgs | None" = None,
     log=print,
 ):
-    import jax.numpy as jnp
-
+    """``analyzer``/``engine`` override the keyword knobs when given: the
+    CLI entry builds one EngineArgs (the shared three-CLI config surface)
+    and passes it here; the keyword form stays for library callers."""
+    from aiic_tpu.cli.common import EngineArgs
     from aiic_tpu.data.images import load_images_from_csv
-    from aiic_tpu.engine import InteriorAnalyzer
-    from aiic_tpu.models.config import VIT_B_16
-    from aiic_tpu.models.init import load_clip_weights
 
     images = load_images_from_csv(csv_path, max_images)
     urls = [d["url"] for d in images]
     log(f"loaded {len(urls)} urls from {csv_path}")
 
-    params = load_clip_weights(weights, VIT_B_16) if weights else None
-    analyzer = InteriorAnalyzer(
-        params=params,
-        dataset_json=dataset_json,
-        use_lora=use_lora,
-        lora_weights_path=lora_weights,
-        lora_rank=4,
-        lora_alpha=8,  # inference defaults (main.py:521-522)
-        dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype],
-        quantize=quantize,
-        wire_format=wire_format,
-    )
+    if analyzer is None:
+        if engine is None:
+            engine = EngineArgs(
+                weights=weights, dataset_json=dataset_json, dtype=dtype,
+                quantize=quantize, use_lora=use_lora,
+                lora_weights=lora_weights, wire_format=wire_format,
+                fast_decode=fast_decode,
+                # keyword form keeps the reference's hardwired inference
+                # geometry (main.py:521-522) and no cache side effects
+                lora_rank=4, lora_alpha=8, text_cache="none",
+            )
+        analyzer = engine.build_analyzer(log=log)
     results = analyzer.analyze_images_batch(
         urls,
         batch_size=batch_size,
@@ -99,34 +100,20 @@ def analyze_images_from_csv(
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from aiic_tpu.cli.common import EngineArgs
+
     p = argparse.ArgumentParser(description="Batched interior-image analysis (TPU)")
     p.add_argument("--analyze-csv", type=str, help="csv with offer_id,seq,url columns")
     p.add_argument("--max-images", type=int)
-    p.add_argument("--use-lora", action="store_true")
-    p.add_argument("--lora-weights", type=str, default="lora_models/comprehensive_lora.pth")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--no-filter-interiors", action="store_true")
     p.add_argument("--confidence-threshold", type=float, default=0.3)
-    p.add_argument("--dataset-json", type=str, default="interior_dataset.json")
-    p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt OpenAI / HF)")
-    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
-    p.add_argument("--quantize", action="store_true",
-                   help="int8 serving config (requires --dtype bfloat16): "
-                        "int8 MLP + QKV-projection weights, parity-gated at "
-                        ">=0.999 cosine vs the fp32 oracle")
-    p.add_argument("--fast-decode", action="store_true",
-                   help="DCT-scaled JPEG decode on the local-file streaming "
-                        "path (up to 64x fewer pixels through IDCT+resize on "
-                        "large sources; quality-approximate, not bit-exact "
-                        "PIL preprocessing)")
-    p.add_argument("--wire-format", choices=["hwc", "patch"], default="hwc",
-                   help="host->device pixel layout: 'hwc' = uint8 (B,S,S,3) "
-                        "with the on-device normalize pass (reference-"
-                        "preprocess parity form); 'patch' = patch-major "
-                        "uint8 (B,N,3*p*p) emitted by the C++ decode pool — "
-                        "normalization folds into the embed matmul "
-                        "(the bench.py serving wire, parity-gated)")
     p.add_argument("--output", type=str, help="output JSON path")
+    # shared engine surface (aiic_tpu/cli/common.py): fp32 parity default,
+    # the reference's shipped checkpoint as the default adapter
+    EngineArgs.add_args(
+        p, dtype_default="float32",
+        lora_weights_default="lora_models/comprehensive_lora.pth")
     return p
 
 
@@ -139,21 +126,17 @@ def main(argv=None):
     if not args.analyze_csv:
         print("run with --analyze-csv photos.csv [--use-lora --lora-weights path]")
         return 1
+    from aiic_tpu.cli.common import EngineArgs
+
     analyze_images_from_csv(
         args.analyze_csv,
-        use_lora=args.use_lora,
-        lora_weights=args.lora_weights,
         max_images=args.max_images,
         batch_size=args.batch_size,
         filter_interiors=not args.no_filter_interiors,
         confidence_threshold=args.confidence_threshold,
-        dataset_json=args.dataset_json,
-        weights=args.weights,
-        dtype=args.dtype,
-        quantize=args.quantize,
-        out_path=args.output,
         fast_decode=args.fast_decode,
-        wire_format=args.wire_format,
+        out_path=args.output,
+        engine=EngineArgs.from_args(args),
     )
     return 0
 

@@ -46,6 +46,11 @@ def main(argv=None):
                         "features once — same loss trajectory, ~2x slower "
                         "steps; the cache is on by default")
     p.add_argument("--test", action="store_true", help="evaluate a trained adapter")
+    p.add_argument("--model", default="vit_b_16",
+                   choices=["vit_b_16", "vit_b_32", "vit_l_14",
+                            "vit_l_14_336", "tiny"],
+                   help="CLIP preset (shared zoo with the inference CLIs; "
+                        "reference hardcodes ViT-B/16)")
     p.add_argument("--weights", type=str, help="backbone weights (.npz / .pt / HF)")
     p.add_argument("--image-root", type=str, help="base dir for dataset image paths")
     p.add_argument("--resume", action="store_true",
@@ -68,16 +73,17 @@ def main(argv=None):
 
     apply_platform_env()
 
-    from aiic_tpu.models.config import VIT_B_16
+    from aiic_tpu.cli.common import model_presets
     from aiic_tpu.models.init import load_clip_weights
 
-    params = load_clip_weights(args.weights, VIT_B_16) if args.weights else None
+    config = model_presets()[args.model]
+    params = load_clip_weights(args.weights, config) if args.weights else None
 
     if args.test:
         from aiic_tpu.train import test_trained_lora
 
         acc = test_trained_lora(
-            args.json_path, args.save_path, params=params,
+            args.json_path, args.save_path, params=params, config=config,
             rank=args.rank, alpha=args.alpha, batch_size=args.batch_size,
             image_root=args.image_root,
         )
@@ -98,6 +104,7 @@ def main(argv=None):
         args.json_path,
         args.save_path,
         params=params,
+        config=config,
         cfg=TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             rank=args.rank, alpha=args.alpha, lora_dropout=args.dropout,

@@ -27,8 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from aiic_tpu.data.dataset import WORKER_STYLES, build_worker_style_prompts
-from aiic_tpu.data.images import load_image
-from aiic_tpu.data.preprocess import preprocess_pil
 from aiic_tpu.data.tokenizer import tokenize_for_model
 from aiic_tpu.engine.analyzer import InteriorAnalyzer
 from aiic_tpu.engine.detector import DEFAULT_CONFIDENCE_THRESHOLD, DETECTOR_CATEGORIES
@@ -108,21 +106,33 @@ class ApartmentWorker:
         if not data or not data.get("images"):
             return None
 
-        pixel_list, metas = [], []
-        for img_data in data["images"]:
-            img = load_image(img_data["url"])
-            if img is None:
-                # failure accounting + dead-letter after repeated failures
-                if hasattr(self.db, "mark_image_attempt"):
-                    self.db.mark_image_attempt(img_data["_id"], "load failed")
-                continue
-            pixel_list.append(preprocess_pil(img, self.analyzer.config.image_size))
-            metas.append(img_data)
+        # Concurrent fetch (the reference uses a 4-thread pool only in the
+        # batch CLI, never in the worker — its drain loop downloads serially,
+        # main_API.py:181) + the native C++ decode pool (JPEG/PNG/WebP, same
+        # PIL-exact numerics) instead of per-image PIL on the worker thread.
+        from concurrent.futures import ThreadPoolExecutor
 
-        if not pixel_list:
+        from aiic_tpu.data.native_loader import preprocess_any_batch
+        from aiic_tpu.data.pipeline import fetch_source
+
+        images = data["images"]
+        with ThreadPoolExecutor(max_workers=min(8, len(images))) as pool:
+            blobs = list(pool.map(lambda im: fetch_source(im["url"]), images))
+        pixels, ok = preprocess_any_batch(
+            blobs, self.analyzer.config.image_size)
+
+        metas = []
+        for img_data, good in zip(images, ok):
+            if good:
+                metas.append(img_data)
+            elif hasattr(self.db, "mark_image_attempt"):
+                # failure accounting + dead-letter after repeated failures
+                self.db.mark_image_attempt(img_data["_id"], "load failed")
+
+        if not metas:
             return None
 
-        res = self.analyzer.classify_pixels(np.stack(pixel_list), max_batch=batch_size)
+        res = self.analyzer.classify_pixels(pixels[ok], max_batch=batch_size)
         style_preds = self._styles_for(res["features"])
 
         room_analyses = []

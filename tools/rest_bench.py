@@ -178,11 +178,16 @@ def main():
     ap.add_argument("--sweep-wait", default="",
                     help="comma list of max_wait_ms values to sweep at the "
                          "largest client count (rebuilds the batcher only)")
-    ap.add_argument("--batch-images", type=int, default=0,
-                    help="N > 0: also drive POST /analyze-batch with N "
-                         "base64 images per request (the multi-image "
-                         "protocol that amortizes per-request HTTP+JSON "
-                         "overhead) and report images/sec")
+    ap.add_argument("--batch-images", default="",
+                    help="comma list of N values: also drive POST "
+                         "/analyze-batch with N base64 images per request "
+                         "(the multi-image protocol that amortizes "
+                         "per-request HTTP+JSON overhead) and report "
+                         "images/sec")
+    ap.add_argument("--png-clients", type=int, default=0,
+                    help="N > 0: also run one POST /analyze load point with "
+                         "the corpus transcoded to PNG at N clients "
+                         "(measures the native non-JPEG decode path)")
     ap.add_argument("--limit-images", type=int, default=64)
     ap.add_argument("--weights", help="backbone checkpoint (.npz/.pt/HF dir); "
                                       "default random init")
@@ -287,10 +292,29 @@ def main():
             extra={"max_wait_ms": args.max_wait_ms,
                    "pipeline_depth": args.pipeline_depth}))
 
-    if args.batch_images > 0:
+    if args.png_clients > 0:
+        import io
+
+        from PIL import Image
+
+        png_payloads = []
+        for b in payloads[:16]:  # PNG re-encode is slow; 16 rotate fine
+            buf = io.BytesIO()
+            Image.open(io.BytesIO(b)).convert("RGB").save(buf, "PNG")
+            png_payloads.append(buf.getvalue())
+        clients = args.png_clients
+        snap0 = GLOBAL_METRICS.snapshot()
+        lats, wall, errs = run_load_point(
+            port, png_payloads, clients, args.per_client)
+        snap1 = GLOBAL_METRICS.snapshot()
+        results.append(summarize(
+            f"png_c{clients}", lats, wall, errs, clients, snap0, snap1,
+            extra={"corpus": "png", "max_wait_ms": args.max_wait_ms,
+                   "pipeline_depth": args.pipeline_depth}))
+
+    for nper in [int(x) for x in args.batch_images.split(",") if x]:
         import base64
 
-        nper = args.batch_images
         # rotate the corpus across prebuilt bodies (b64 encode outside the
         # timed loop: it's client-side cost, identical for every protocol)
         bodies = []

@@ -49,11 +49,12 @@ def main():
     config = {"vit_b_16": VIT_B_16, "vit_b_32": VIT_B_32,
               "vit_l_14": VIT_L_14, "vit_l_14_336": VIT_L_14_336}[model]
     # Grid amortization: B=512 measured +2.6% over B=256 (6008 vs 5857
-    # img/s pipelined), B=1024 another +0.9% (6049 vs 5996), and B=2048
+    # img/s pipelined), B=1024 another +0.9% (6049 vs 5996), B=2048
     # (round 4) another +2.9% (6,236/6,251/6,256 across three runs vs
-    # 6,070-6,079 at B=1024); single-image p50 is measured separately and
-    # unaffected by this default.
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # 6,070-6,079 at B=1024), and B=4096 (round 5) 6,269-6,274 across
+    # runs — above the full B=2048 band; single-image p50 is measured
+    # separately and unaffected by this default.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     dtype = jnp.bfloat16
 

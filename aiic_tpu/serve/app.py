@@ -23,8 +23,6 @@ from __future__ import annotations
 import threading
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
-import numpy as np
-
 
 def make_run_batch(analyzer, confidence: float, max_batch: int,
                    pipeline_depth: int) -> Tuple[Callable, Optional[Callable]]:

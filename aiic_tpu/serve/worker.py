@@ -29,7 +29,7 @@ import numpy as np
 from aiic_tpu.data.dataset import WORKER_STYLES, build_worker_style_prompts
 from aiic_tpu.data.tokenizer import tokenize_for_model
 from aiic_tpu.engine.analyzer import InteriorAnalyzer
-from aiic_tpu.engine.detector import DEFAULT_CONFIDENCE_THRESHOLD, DETECTOR_CATEGORIES
+from aiic_tpu.engine.detector import DEFAULT_CONFIDENCE_THRESHOLD
 from aiic_tpu.engine.programs import encode_texts_program
 from aiic_tpu.serve.db import connect_db, seed_demo_data
 

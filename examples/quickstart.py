@@ -74,6 +74,45 @@ def main():
     print(f"trained: best val loss {out['best_val_loss']:.4f} "
           f"(checkpoint: /tmp/quickstart_adapters.pth)")
 
+    # 5) Production serving: REST + dynamic batcher, single-image and
+    #    multi-image protocols, live latency quantiles on /metrics.
+    import base64
+    import urllib.request
+
+    from aiic_tpu.serve.app import build_serving_app
+    from aiic_tpu.serve.db import InMemoryDB
+    from aiic_tpu.serve.rest import serve_forever_in_thread
+
+    server, batcher, _warmed = build_serving_app(
+        analyzer, db=InMemoryDB(), port=0, max_batch=8,
+        warm_buckets=(1, 8), warm_async=False, log=lambda *_: None)
+    serve_forever_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with open(sample, "rb") as f:
+            img = f.read()
+        req = urllib.request.Request(base + "/analyze", data=img, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            single = json.loads(r.read().decode())
+        print("REST verdict:", single["is_interior"],
+              "| category:", single["detected_category"])
+        breq = urllib.request.Request(
+            base + "/analyze-batch",
+            data=json.dumps({
+                "urls": paths[:2],
+                "images_b64": [base64.b64encode(img).decode()],
+            }).encode(), method="POST")
+        with urllib.request.urlopen(breq, timeout=120) as r:
+            batch = json.loads(r.read().decode())["results"]
+        print(f"REST batch: {len(batch)} results, "
+              f"keys={sorted(batch[0])}")
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
+            metrics = json.loads(r.read().decode())
+        print("live p50:", metrics.get("analyze_p50_ms"), "ms")
+    finally:
+        server.shutdown()
+        batcher.close()
+
     print(json.dumps({"quickstart": "ok"}))
 
 

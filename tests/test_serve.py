@@ -875,3 +875,58 @@ def test_worker_crash_mid_apartment_recovers_exactly_once(analyzer, tmp_path):
     assert rec["analyzed_images"] == n_completed
     # nothing left for a third drain
     assert db.get_pending_apartments() == []
+
+
+def test_analyze_batch_endpoint_with_http_urls(analyzer, ref_root):
+    """POST /analyze-batch with http:// URLs (the reference's production
+    shape — CSV of offer URLs, main.py:516-524): fetched concurrently over
+    a loopback HTTP server, results equal the same images sent as bytes;
+    a 404 URL yields the load-error record without failing the request."""
+    import functools
+    import os
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from aiic_tpu.serve.app import build_serving_app
+
+    paths = [f"{ref_root}/dataset_images/interior{i}.jpg" for i in (1, 2, 3)]
+
+    class Quiet(SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    handler = functools.partial(Quiet, directory=f"{ref_root}/dataset_images")
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    src_port = srv.server_address[1]
+
+    server, batcher, _w = build_serving_app(
+        analyzer, db=InMemoryDB(), port=0, max_batch=8, max_wait_ms=5.0,
+        warm_buckets=(1, 4), warm_async=False, log=lambda *_: None)
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        urls = [f"http://127.0.0.1:{src_port}/{os.path.basename(p)}"
+                for p in paths]
+        bad = f"http://127.0.0.1:{src_port}/missing.jpg"
+        import base64
+
+        body = json.dumps({
+            "urls": urls + [bad],
+            "images_b64": [base64.b64encode(open(paths[0], "rb").read()).decode()],
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze-batch", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results = json.loads(r.read().decode())["results"]
+        assert len(results) == 5
+        # url[0] and the b64 copy of the same JPEG agree
+        assert results[0] == results[4]
+        assert results[3]["detected_category"] == "load error"
+        assert results[3]["reason"].startswith("Błąd ładowania")
+        for res in results[:3]:
+            assert set(res) == {"is_interior", "interior_confidence",
+                                "detected_category", "analysis", "reason"}
+    finally:
+        server.shutdown()
+        batcher.close()
+        srv.shutdown()

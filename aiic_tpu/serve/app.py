@@ -154,14 +154,19 @@ def make_analyze_batch(
     image bytes, base64). Returns ``{"results": [...]}`` in request order
     (urls first), each entry the full five-key reference result dict;
     fetch/decode failures get the reference's load-error record
-    (main.py:420-426) instead of failing the whole request."""
+    (main.py:420-426) instead of failing the whole request.
+
+    The request STREAMS through ByteStreamLoader (the CSV-CLI's three-stage
+    pipeline): URL fetch of chunk i+1 overlaps the native JPEG/PNG/WebP
+    decode of chunk i and the batcher submission of chunk i-1, and memory
+    holds at most two chunks of raw blobs — a 1024-URL request neither
+    serializes fetch-all -> decode-all -> submit-all nor buffers every
+    blob."""
     import base64
     import concurrent.futures
     import time
-    from concurrent.futures import ThreadPoolExecutor
 
-    from aiic_tpu.data.native_loader import preprocess_any_batch
-    from aiic_tpu.data.pipeline import fetch_source
+    from aiic_tpu.data.pipeline import ByteStreamLoader
     from aiic_tpu.serve.metrics import GLOBAL_METRICS
 
     size = analyzer.config.image_size
@@ -192,30 +197,30 @@ def make_analyze_batch(
                 f"batch of {n} exceeds max_items={max_items}; split the request"
             )
 
-        with GLOBAL_METRICS.stages.stage("serve_fetch"):
-            blobs: list = [b""] * n
-            if urls:
-                with ThreadPoolExecutor(
-                    max_workers=min(fetch_workers, len(urls))
-                ) as pool:
-                    blobs[: len(urls)] = list(pool.map(fetch_source, urls))
-            for j, s in enumerate(b64):
-                try:
-                    blobs[len(urls) + j] = base64.b64decode(s)
-                except Exception:
-                    blobs[len(urls) + j] = b""
+        sources: list = list(urls)
+        for s in b64:
+            try:
+                sources.append(base64.b64decode(s))
+            except Exception:
+                sources.append(b"")  # ok-mask records the load error
 
-        with GLOBAL_METRICS.stages.stage("serve_decode"):
-            # Whole-request decode through the native pool (JPEG) with the
-            # per-blob Python fallback for PNG/WebP/... — same numerics as
-            # the CLI byte path.
-            pixels, ok = preprocess_any_batch(
-                blobs, size, fast=fast_decode, patch=wire_patch)
-
-        futs = []
+        loader = ByteStreamLoader(
+            sources, batch_size=min(64, n), size=size,
+            fetch_workers=fetch_workers, fast=fast_decode, patch=wire_patch)
+        futs: list = [None] * n
         try:
-            for i in range(n):
-                futs.append(batcher.submit(pixels[i]) if ok[i] else None)
+            it = iter(loader)
+            while True:
+                # fetch+decode wait for the NEXT chunk (0 when the pipeline
+                # keeps ahead of batcher submission)
+                with GLOBAL_METRICS.stages.stage("serve_decode"):
+                    item = next(it, None)
+                if item is None:
+                    break
+                pixels, ok, (start, end) = item
+                for j in range(start, end):
+                    if ok[j - start]:
+                        futs[j] = batcher.submit(pixels[j - start])
         except Exception:
             for f in futs:
                 if f is not None:

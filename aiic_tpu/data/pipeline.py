@@ -26,32 +26,89 @@ import numpy as np
 Batch = Tuple[np.ndarray, np.ndarray, Tuple[int, int]]
 
 
-def _stream(produce: Callable[["queue.Queue"], None], depth: int) -> Iterator[Batch]:
-    """Run ``produce(q)`` on a daemon thread; yield its queue items with
-    producer-exception propagation. A swallowed exception here would make
-    analyze_images_batch return PARTIAL results with rc=0 (every path after
-    the failure point simply missing), so failures re-raise in the consumer."""
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
+class _StreamClosed(Exception):
+    """Raised inside the producer when the consumer closed the stream."""
+
+
+class _StreamQueue(queue.Queue):
+    """Bounded queue whose blocking put() aborts once the consumer has
+    closed the stream: an ABANDONED iterator (consumer raised mid-stream —
+    e.g. the serving batch endpoint hitting admission control) must not
+    leave the producer thread and its fetch pool blocked on a full queue
+    forever, leaking a thread + two chunks of blobs per aborted request."""
+
+    def __init__(self, maxsize: int, stop: threading.Event):
+        super().__init__(maxsize)
+        self._stop = stop
+
+    def put(self, item, block=True, timeout=None):  # noqa: D102
+        if not block or timeout is not None:
+            return super().put(item, block, timeout)
+        while True:
+            if self._stop.is_set():
+                raise _StreamClosed()
+            try:
+                return super().put(item, True, 0.1)
+            except queue.Full:
+                continue
+
+
+class _Stream:
+    """Iterator over ``produce``'s queue items with producer-exception
+    propagation and explicit ``close()``. A swallowed producer exception
+    would make analyze_images_batch return PARTIAL results with rc=0
+    (every path after the failure point simply missing), so failures
+    re-raise in the consumer."""
+
     _SENTINEL = object()
-    error: List[BaseException] = []
 
-    def run():
+    def __init__(self, produce: Callable[["queue.Queue"], None], depth: int):
+        self._stop = threading.Event()
+        self._q = _StreamQueue(depth, self._stop)
+        self._error: List[BaseException] = []
+
+        def run():
+            try:
+                produce(self._q)
+            except _StreamClosed:
+                return  # consumer is gone; nothing to report
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                self._error.append(e)
+            finally:
+                try:
+                    self._q.put_nowait(self._SENTINEL)
+                except queue.Full:
+                    pass  # close() drains; a full queue means consumer left
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self
+
+    def __next__(self) -> Batch:
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._error:
+                raise self._error[0]
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        """Release the producer: unblocks any pending put and drains the
+        queue so its thread (and fetch pool) can exit."""
+        self._stop.set()
         try:
-            produce(q)
-        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-            error.append(e)
-        finally:
-            q.put(_SENTINEL)
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if error:
-                raise error[0]
-            break
-        yield item
+
+def _stream(produce: Callable[["queue.Queue"], None], depth: int) -> "_Stream":
+    return _Stream(produce, depth)
 
 
 class PrefetchingLoader:

@@ -467,22 +467,29 @@ class InteriorAnalyzer:
         merged classify results, or None when nothing decoded."""
         pending: List[tuple] = []
         it = iter(loader)
-        while True:
-            # decode_stall = time the device pipeline sat idle waiting on
-            # the host decoder (0 when decode fully overlaps compute).
-            with self.metrics.stages.stage("decode_stall"):
-                item = next(it, None)
-            if item is None:
-                break
-            pixels_u8, ok, (start, end) = item
-            for j in range(start, end):
-                if ok[j - start]:
-                    good_paths.append(image_paths[j])
-                else:
-                    record_load_error(image_paths[j])
-            kept = pixels_u8[ok]
-            if len(kept):
-                pending.append(self._dispatch_chunk(kept, cap))
+        try:
+            while True:
+                # decode_stall = time the device pipeline sat idle waiting on
+                # the host decoder (0 when decode fully overlaps compute).
+                with self.metrics.stages.stage("decode_stall"):
+                    item = next(it, None)
+                if item is None:
+                    break
+                pixels_u8, ok, (start, end) = item
+                for j in range(start, end):
+                    if ok[j - start]:
+                        good_paths.append(image_paths[j])
+                    else:
+                        record_load_error(image_paths[j])
+                kept = pixels_u8[ok]
+                if len(kept):
+                    pending.append(self._dispatch_chunk(kept, cap))
+        except Exception:
+            # a dispatch failure abandons the stream: release its producer
+            # thread + fetch pool instead of leaving them blocked
+            if hasattr(it, "close"):
+                it.close()
+            raise
         if not pending:
             return None
         return self._fetch_pending(pending)

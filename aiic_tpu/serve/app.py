@@ -208,8 +208,8 @@ def make_analyze_batch(
             sources, batch_size=min(64, n), size=size,
             fetch_workers=fetch_workers, fast=fast_decode, patch=wire_patch)
         futs: list = [None] * n
+        it = iter(loader)
         try:
-            it = iter(loader)
             while True:
                 # fetch+decode wait for the NEXT chunk (0 when the pipeline
                 # keeps ahead of batcher submission)
@@ -222,6 +222,11 @@ def make_analyze_batch(
                     if ok[j - start]:
                         futs[j] = batcher.submit(pixels[j - start])
         except Exception:
+            # release the stream's producer thread + fetch pool (an
+            # abandoned iterator would otherwise block on its queue), then
+            # cancel whatever was already admitted
+            if hasattr(it, "close"):
+                it.close()
             for f in futs:
                 if f is not None:
                     f.cancel()

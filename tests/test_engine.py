@@ -531,3 +531,30 @@ def test_analyzer_patch_wire_streaming_jpegs(tiny_analyzer, tmp_path):
                                       fast_decode=True)
     for p in paths:
         assert c[p]["detected_category"] == b[p]["detected_category"]
+
+
+def test_abandoned_stream_releases_producer_thread(ref_root):
+    """An abandoned loader iterator (consumer raised mid-stream — e.g. the
+    serving batch endpoint hitting admission control) must release the
+    producer thread instead of leaving it blocked on a full queue forever
+    (a thread + two chunks of blobs leaked per aborted request)."""
+    import threading
+    import time
+
+    from aiic_tpu.data.pipeline import ByteStreamLoader
+
+    paths = [f"{ref_root}/dataset_images/interior{i}.jpg" for i in range(1, 13)]
+    loader = ByteStreamLoader(paths, batch_size=2, depth=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)  # producer now works ahead and blocks on the depth-1 queue
+    time.sleep(0.2)
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    # the stream thread exited (fetch-pool workers may linger briefly but
+    # the producer itself must be gone)
+    assert not it._thread.is_alive()
+    # closed stream yields nothing further
+    assert next(iter(it), None) is None

@@ -184,6 +184,12 @@ def main():
                          "(the multi-image protocol that amortizes "
                          "per-request HTTP+JSON overhead) and report "
                          "images/sec")
+    ap.add_argument("--batch-urls", default="",
+                    help="comma list of N values: drive POST /analyze-batch "
+                         "with N urls per request served from a loopback "
+                         "HTTP server (the reference's CSV-of-offer-URLs "
+                         "production shape; exercises the in-request "
+                         "fetch||decode||submit stream)")
     ap.add_argument("--png-clients", type=int, default=0,
                     help="N > 0: also run one POST /analyze load point with "
                          "the corpus transcoded to PNG at N clients "
@@ -311,6 +317,42 @@ def main():
             f"png_c{clients}", lats, wall, errs, clients, snap0, snap1,
             extra={"corpus": "png", "max_wait_ms": args.max_wait_ms,
                    "pipeline_depth": args.pipeline_depth}))
+
+    if args.batch_urls and os.path.isdir(img_dir):
+        import functools
+        import threading as _threading
+        from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+        class Quiet(SimpleHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+        src = ThreadingHTTPServer(
+            ("127.0.0.1", 0), functools.partial(Quiet, directory=img_dir))
+        _threading.Thread(target=src.serve_forever, daemon=True).start()
+        names = sorted(os.listdir(img_dir))[: args.limit_images]
+        src_urls = [f"http://127.0.0.1:{src.server_address[1]}/{n}"
+                    for n in names]
+        for nper in [int(x) for x in args.batch_urls.split(",") if x]:
+            bodies = []
+            for start in range(16):
+                chunk = [src_urls[(start + j) % len(src_urls)]
+                         for j in range(nper)]
+                bodies.append(json.dumps({"urls": chunk}).encode())
+            for clients in client_counts:
+                per_client = max(1, (args.per_client + nper - 1) // nper)
+                snap0 = GLOBAL_METRICS.snapshot()
+                lats, wall, errs, images_ok = run_batch_load_point(
+                    port, bodies, clients, per_client)
+                snap1 = GLOBAL_METRICS.snapshot()
+                results.append(summarize(
+                    f"urls{nper}_c{clients}", lats, wall, errs, clients,
+                    snap0, snap1,
+                    extra={"images_per_request": nper, "corpus": "urls",
+                           "img_per_s": round(images_ok / wall, 1),
+                           "max_wait_ms": args.max_wait_ms,
+                           "pipeline_depth": args.pipeline_depth}))
+        src.shutdown()
 
     for nper in [int(x) for x in args.batch_images.split(",") if x]:
         import base64

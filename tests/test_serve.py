@@ -930,3 +930,39 @@ def test_analyze_batch_endpoint_with_http_urls(analyzer, ref_root):
         server.shutdown()
         batcher.close()
         srv.shutdown()
+
+
+def test_analyze_batch_chunks_large_pure_bytes_requests(analyzer, ref_root):
+    """Pure-b64 requests larger than one decode chunk (64) keep request
+    order across chunk boundaries and decode without the per-request
+    stream thread (the >64-image handler-thread chunking path)."""
+    import base64
+
+    from aiic_tpu.serve.app import build_serving_app
+
+    with open(f"{ref_root}/interior_sample.jpg", "rb") as f:
+        jpeg = f.read()
+    n = 70  # crosses the 64-image chunk boundary
+    server, batcher, _w = build_serving_app(
+        analyzer, db=InMemoryDB(), port=0, max_batch=8, max_wait_ms=5.0,
+        warm_buckets=(1, 8), warm_async=False, max_batch_items=128,
+        log=lambda *_: None)
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        imgs = [base64.b64encode(jpeg).decode()] * n
+        # one bad entry straddling the second chunk keeps indexing honest
+        imgs[66] = base64.b64encode(b"junk").decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze-batch",
+            data=json.dumps({"images_b64": imgs}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results = json.loads(r.read().decode())["results"]
+        assert len(results) == n
+        assert results[66]["detected_category"] == "load error"
+        good = [r for i, r in enumerate(results) if i != 66]
+        for res in good:
+            assert res == good[0]  # same JPEG -> identical result everywhere
+    finally:
+        server.shutdown()
+        batcher.close()

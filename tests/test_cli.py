@@ -211,3 +211,65 @@ def test_compilation_cache_wiring(monkeypatch, tmp_path):
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_time)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
+
+
+def test_engine_args_text_cache_fingerprint(tmp_path, monkeypatch):
+    """'auto' text-cache paths fingerprint everything that shapes text
+    features: config knobs, dataset bytes, LoRA checkpoint bytes, merges
+    env. Any change must move the path (a stale cache from a different
+    config must never be picked up)."""
+    import json as _json
+
+    from aiic_tpu.cli.common import EngineArgs
+
+    monkeypatch.chdir(tmp_path)
+    ds = tmp_path / "ds.json"
+    ds.write_text(_json.dumps({"training_data": []}))
+
+    base = EngineArgs(dataset_json=str(ds))
+    p1 = base.text_cache_path(None, 4, 8)
+    assert p1 is not None and "textcache_" in p1
+    assert base.text_cache_path(None, 4, 8) == p1  # deterministic
+
+    # dataset content change -> new path
+    ds.write_text(_json.dumps({"training_data": [{"image_path": "a.jpg"}]}))
+    p2 = base.text_cache_path(None, 4, 8)
+    assert p2 != p1
+    # knob changes -> new path
+    assert EngineArgs(dataset_json=str(ds), dtype="bfloat16"
+                      ).text_cache_path(None, 4, 8) != p2
+    assert base.text_cache_path(None, 16, 32) != p2
+    # LoRA checkpoint bytes participate
+    ck1 = {"k": np.zeros(4, np.float32)}
+    ck2 = {"k": np.ones(4, np.float32)}
+    assert (base.text_cache_path(ck1, 4, 8)
+            != base.text_cache_path(ck2, 4, 8))
+    # merges env participates
+    monkeypatch.setenv("AIIC_BPE_PATH", "/nonexistent/merges.gz")
+    assert base.text_cache_path(None, 4, 8) != p2
+    # 'none' disables
+    assert EngineArgs(dataset_json=str(ds), text_cache="none"
+                      ).text_cache_path(None, 4, 8) is None
+
+
+def test_engine_args_build_analyzer_tiny(tmp_path, monkeypatch):
+    """build_analyzer constructs a working engine from the dataclass alone
+    (model preset, dtype map, no cache side effects with text_cache none)."""
+    import json as _json
+
+    from aiic_tpu.cli.common import EngineArgs
+
+    ds = tmp_path / "ds.json"
+    ds.write_text(_json.dumps({"training_data": [
+        {"image_path": "a.jpg", "style": "nowoczesny",
+         "characteristics": ["jasne"], "materials": ["drewno"],
+         "colors": ["bialy"], "room_type": "kuchnia"},
+    ]}))
+    ea = EngineArgs(model="tiny", dataset_json=str(ds), text_cache="none")
+    analyzer = ea.build_analyzer(max_batch=4, log=lambda *_: None)
+    assert analyzer.config.name == "tiny-test"
+    px = np.random.default_rng(0).standard_normal(
+        (2, analyzer.config.image_size, analyzer.config.image_size, 3)
+    ).astype(np.float32)
+    res = analyzer.classify_pixels(px)
+    assert res["interior_mass"].shape == (2,)

@@ -161,13 +161,22 @@ def make_server(
                     endpoint, _time.perf_counter() - t0)
                 self._json(result)
             except TimeoutError as e:
+                # error latencies live in their own histogram — folding a
+                # 30 s timeout into the success p95 would make the tail
+                # unreadable
+                GLOBAL_METRICS.observe_latency(
+                    f"{endpoint}_error", _time.perf_counter() - t0)
                 self._json({"error": f"analysis timed out: {e}",
                             "dead_lettered": True}, 504)
             except ValueError as e:
+                GLOBAL_METRICS.observe_latency(
+                    f"{endpoint}_error", _time.perf_counter() - t0)
                 self._json({"error": str(e)}, 400)
             except Exception as e:
                 from aiic_tpu.serve.batcher import BatcherOverloaded
 
+                GLOBAL_METRICS.observe_latency(
+                    f"{endpoint}_error", _time.perf_counter() - t0)
                 if isinstance(e, BatcherOverloaded):
                     # Admission control: fast-fail instead of queueing
                     # doomed work; clients should back off and retry.

@@ -204,7 +204,18 @@ def make_analyze_batch(
             except Exception:
                 sources.append(b"")  # ok-mask records the load error
 
+        # The deadline covers the WHOLE request — fetch/decode included. A
+        # 1024-slow-URL request must 504 at request_timeout, not stream
+        # sources for minutes before the result wait even starts.
+        deadline = time.monotonic() + request_timeout
         futs: list = [None] * n
+
+        def request_timed_out():
+            n_cancelled = sum(
+                1 for f in futs if f is not None and f.cancel())
+            dead_letter(n_cancelled)
+            raise TimeoutError(f"batch request exceeded {request_timeout}s")
+
         try:
             if urls:
                 # network fetch to overlap: three-stage stream (fetch chunk
@@ -224,6 +235,8 @@ def make_analyze_batch(
                         if item is None:
                             break
                         pixels, ok, (start, end) = item
+                        if time.monotonic() >= deadline:
+                            request_timed_out()
                         for j in range(start, end):
                             if ok[j - start]:
                                 futs[j] = batcher.submit(pixels[j - start])
@@ -245,6 +258,8 @@ def make_analyze_batch(
                     with GLOBAL_METRICS.stages.stage("serve_decode"):
                         pixels, ok = preprocess_any_batch(
                             chunk, size, fast=fast_decode, patch=wire_patch)
+                    if time.monotonic() >= deadline:
+                        request_timed_out()
                     for j, good in enumerate(ok):
                         if good:
                             futs[start + j] = batcher.submit(pixels[j])
@@ -254,7 +269,6 @@ def make_analyze_batch(
                     f.cancel()
             raise
 
-        deadline = time.monotonic() + request_timeout
         results = []
         try:
             for f in futs:

@@ -966,3 +966,56 @@ def test_analyze_batch_chunks_large_pure_bytes_requests(analyzer, ref_root):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_analyze_batch_deadline_covers_slow_source_fetch(analyzer):
+    """The batch request deadline covers the fetch/decode stream, not just
+    the result wait: URL sources that stall must 504 at request_timeout
+    instead of streaming for minutes first."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from aiic_tpu.serve.app import build_serving_app
+
+    class Stall(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            time.sleep(1.0)  # each source takes 1 s; timeout is 1.5 s
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stall)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    src_port = srv.server_address[1]
+
+    server, batcher, _w = build_serving_app(
+        analyzer, db=InMemoryDB(), port=0, max_batch=8, max_wait_ms=5.0,
+        request_timeout=1.5, warm_buckets=(1, 8), warm_async=False,
+        log=lambda *_: None)
+    port = server.server_address[1]
+    serve_forever_in_thread(server)
+    try:
+        body = json.dumps({"urls": [
+            f"http://127.0.0.1:{src_port}/{i}.jpg" for i in range(130)
+        ]}).encode()  # >1 stream chunk of stalling sources
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/analyze-batch", data=body,
+            method="POST")
+        t0 = time.perf_counter()
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        elapsed = time.perf_counter() - t0
+        assert exc.value.code == 504
+        body_json = json.loads(exc.value.read().decode())
+        assert "timed out" in body_json["error"]
+        # stream is 2 chunks of 64+66 sources at 1 s each through an
+        # 8-worker fetch pool: unbounded would take ~17 s; the deadline is
+        # chunk-granular, so the cutoff lands after chunk 1 (~8 s), well
+        # before the full stream
+        assert elapsed < 14.0, elapsed
+    finally:
+        server.shutdown()
+        batcher.close()
+        srv.shutdown()
